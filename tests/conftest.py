@@ -1,0 +1,30 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding paths
+(mesh/pjit/shard_map) are exercised without TPU hardware — the standard JAX
+pattern the TF reference has no analog of (SURVEY.md §4).
+
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Repo root on sys.path so `import nvae_tpu` works without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng0():
+    import jax
+
+    return jax.random.PRNGKey(0)
