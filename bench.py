@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: jitted train-step throughput on the flagship MNIST NVAE.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the TF reference sustains ~136 images/sec on its single GPU
+(60k images x 400 epochs / 49 h — BASELINE.md "derived train throughput";
+the reference train step runs eagerly, reference train.py:132).
+
+Runs on whatever jax.devices() provides (the real TPU under axon; CPU under
+JAX_PLATFORMS=cpu).  All progress chatter goes to stderr; stdout carries only
+the JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_IMAGES_PER_SEC = 136.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=144)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--quick", action="store_true",
+                    help="Fewer steps for a fast smoke run")
+    ap.add_argument("--compute_dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+    if args.quick:
+        args.steps, args.warmup = 8, 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from nvae_tpu.config import ModelConfig, TrainConfig
+    from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.train.step import make_train_step
+
+    log(f"devices: {jax.devices()}")
+    model_cfg = ModelConfig(compute_dtype=args.compute_dtype)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, step_based_warmup=True
+    )
+    total_steps = 400 * (60000 // args.batch_size)  # reference-scale schedule
+
+    t0 = time.time()
+    model, state, tx = create_train_state(model_cfg, train_cfg, total_steps)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
+
+    step_fn = make_train_step(
+        model, tx, train_cfg, total_steps,
+        steps_per_epoch=60000 // args.batch_size,
+    )
+
+    # Synthetic binarized batch (throughput is data-independent).
+    rng = jax.random.PRNGKey(0)
+    batch = (
+        jax.random.uniform(rng, (args.batch_size, 32, 32, 1)) > 0.7
+    ).astype(jnp.float32)
+
+    t0 = time.time()
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+warmup ({args.warmup} steps): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    images_per_sec = args.steps * args.batch_size / dt
+    log(
+        f"{args.steps} steps in {dt:.2f}s -> {images_per_sec:.1f} img/s "
+        f"(loss {float(metrics['loss']):.2f})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_mnist_nvae_b144",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

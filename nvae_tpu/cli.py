@@ -1,0 +1,230 @@
+"""Command-line entry point — full flag parity with the reference CLI
+(``train.py:145-297``) plus TPU-native extras.
+
+Modes:
+  train   — run the jitted training loop with checkpoints + image hooks
+  test    — full evaluation suite (IWAE NLL, FID, precision/recall, PPL)
+  sample  — write sample PNGs at temperatures {0.7, 0.8, 0.9, 1.0}
+
+Usage:
+  python -m nvae_tpu.cli --mode train --dataset synthetic --debug --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # -- reference flags (train.py:145-297), same names and defaults --------
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--batch_size", type=int, default=144)
+    p.add_argument("--mode", type=str, choices=["train", "test", "sample"],
+                   default="train")
+    p.add_argument("--n_encoder_channels", type=int, default=32)
+    p.add_argument("--n_decoder_channels", type=int, default=32)
+    p.add_argument("--res_cells_per_group", type=int, default=1)
+    p.add_argument("--n_preprocess_blocks", type=int, default=2)
+    p.add_argument("--n_preprocess_cells", type=int, default=3)
+    p.add_argument("--n_postprocess_blocks", type=int, default=2)
+    p.add_argument("--n_postprocess_cells", type=int, default=3)
+    p.add_argument("--n_latent_per_group", type=int, default=20)
+    p.add_argument("--n_groups_per_scale", nargs="+", type=int, default=[5, 10])
+    p.add_argument("--sr_lambda", type=float, default=0.01)
+    p.add_argument("--scale_factor", type=int, default=2)
+    p.add_argument("--dataset", type=str, default="mnist",
+                   choices=["mnist", "fashion_mnist", "omniglot", "cifar10",
+                            "celeba", "synthetic"])
+    p.add_argument("--cpu", action="store_true", help="Force CPU execution")
+    p.add_argument("--debug", action="store_true",
+                   help="Use only the first 4 batches of data")
+    p.add_argument("--n_samples", type=int, default=10)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--model_save_dir", type=str, default="models")
+    p.add_argument("--sample_dir", type=str, default="results")
+    p.add_argument("--resume_from", type=int, default=0)
+    p.add_argument("--tensorboard_log_dir", type=str, default="logs")
+    p.add_argument("--sample_frequency", type=int, default=5)
+    p.add_argument("--evaluate_frequency", type=int, default=10)
+    p.add_argument("--log_frequency", type=int, default=1)
+    p.add_argument("--binary_eval", action="store_true")
+    p.add_argument("--patience", type=int, default=0)
+    p.add_argument("--model_save_frequency", type=int, default=10)
+    p.add_argument("--step_based_warmup", action="store_true")
+    p.add_argument("--workers", type=int, default=1,
+                   help="Accepted for reference CLI parity; host pipeline is "
+                        "single-threaded by design (device does the work)")
+    p.add_argument("--multiprocessing", action="store_true",
+                   help="Accepted for reference CLI parity; no-op")
+    p.add_argument("--seed", type=int, default=1)
+    # -- TPU-native extras --------------------------------------------------
+    p.add_argument("--data_dir", type=str, default="",
+                   help="Directory with local dataset files")
+    p.add_argument("--spectral_mode", type=str, default="projection",
+                   choices=["projection", "forward", "penalty", "none"],
+                   help="projection=SN in optimizer (fast), forward=per-call "
+                        "SN (reference parity), penalty=spectral reg (SR "
+                        "variant), none")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--likelihood", type=str, default="",
+                   help="bernoulli|dml; default picks by dataset")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="Devices on the data mesh axis (0 = all)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--parity_binarize_255", action="store_true",
+                   help="Reproduce the reference's >0-threshold binarization")
+    p.add_argument("--temperature_all_groups", action="store_true",
+                   help="Apply sampling temperature to every latent group "
+                        "(the reference only scales z0)")
+    return p.parse_args(argv)
+
+
+def build_configs(args, bundle):
+    from nvae_tpu.config import ModelConfig, TrainConfig
+
+    likelihood = args.likelihood or (
+        "dml" if bundle.channels == 3 else "bernoulli"
+    )
+    target = 32 if bundle.image_size <= 32 else bundle.image_size
+    model_cfg = ModelConfig(
+        image_size=target,
+        in_channels=bundle.channels,
+        n_encoder_channels=args.n_encoder_channels,
+        n_decoder_channels=args.n_decoder_channels,
+        res_cells_per_group=args.res_cells_per_group,
+        n_preprocess_blocks=args.n_preprocess_blocks,
+        n_preprocess_cells=args.n_preprocess_cells,
+        n_postprocess_blocks=args.n_postprocess_blocks,
+        n_postprocess_cells=args.n_postprocess_cells,
+        n_latent_per_group=args.n_latent_per_group,
+        n_groups_per_scale=tuple(args.n_groups_per_scale),
+        scale_factor=args.scale_factor,
+        sr_lambda=args.sr_lambda,
+        likelihood=likelihood,
+        spectral_mode=args.spectral_mode,
+        compute_dtype=args.compute_dtype,
+        temperature_all_groups=args.temperature_all_groups,
+    )
+    train_cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        dataset=args.dataset,
+        seed=args.seed,
+        step_based_warmup=args.step_based_warmup,
+        parity_binarize_255=args.parity_binarize_255,
+        binary=likelihood == "bernoulli",
+        debug=args.debug,
+        sample_frequency=args.sample_frequency,
+        evaluate_frequency=args.evaluate_frequency,
+        log_frequency=args.log_frequency,
+        model_save_frequency=args.model_save_frequency,
+        patience=args.patience or 0,
+        resume_from=args.resume_from,
+        n_samples=args.n_samples,
+        binary_eval=args.binary_eval,
+        model_save_dir=args.model_save_dir,
+        sample_dir=args.sample_dir,
+        tensorboard_log_dir=args.tensorboard_log_dir,
+        data_dir=args.data_dir,
+        data_parallel=args.data_parallel,
+    )
+    return model_cfg, train_cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    print(f"Args: {vars(args)}")
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+
+    from nvae_tpu.data import load_dataset, make_iterators
+    from nvae_tpu.parallel import data_sharding, make_mesh
+    from nvae_tpu.train.trainer import Trainer
+    from nvae_tpu.utils.logging import MetricsLogger
+
+    bundle = load_dataset(args.dataset, args.data_dir)
+    model_cfg, train_cfg = build_configs(args, bundle)
+
+    mesh = None
+    sharding = None
+    if args.data_parallel != 1 and len(jax.devices()) > 1:
+        mesh = make_mesh(n_data=args.data_parallel)
+        sharding = data_sharding(mesh)
+        print(f"Mesh: {mesh}")
+
+    train_iter, test_iter = make_iterators(
+        bundle,
+        args.batch_size,
+        target_size=model_cfg.image_size,
+        binarize=train_cfg.binary if args.mode == "train" else args.binary_eval,
+        parity_binarize_255=args.parity_binarize_255,
+        seed=args.seed,
+        sharding=sharding,
+        debug=args.debug,
+    )
+    print(
+        f"Dataset {bundle.name}: {len(bundle.train_x)} train / "
+        f"{len(bundle.test_x)} test, {len(train_iter)} batches/epoch"
+    )
+
+    logger = MetricsLogger(args.tensorboard_log_dir)
+    trainer = Trainer(
+        model_cfg, train_cfg, steps_per_epoch=len(train_iter), mesh=mesh,
+        logger=logger,
+    )
+
+    if args.mode == "train":
+        result = trainer.fit(
+            train_iter, test_iter, profile_dir=args.profile_dir or None
+        )
+        last = result.history[-1] if result.history else {}
+        print(
+            f"Training done: best_loss={result.best_loss:.3f} "
+            f"last_throughput={last.get('images_per_sec', 0):.1f} img/s"
+        )
+    elif args.mode == "test":
+        start = trainer.maybe_resume()
+        print(f"Evaluating checkpoint at epoch {start}")
+        from nvae_tpu.eval.evaluate import evaluate_model
+
+        evaluation = evaluate_model(
+            trainer, test_iter, batch_size=args.batch_size, n_attempts=10,
+            binary=args.binary_eval,
+        )
+        print(f"Negative log likelihood: {evaluation.nll}")
+        print(evaluation)
+        with open(os.path.join(args.tensorboard_log_dir, "evaluation.json"), "w") as f:
+            json.dump(evaluation.to_dict(), f, indent=2)
+    elif args.mode == "sample":
+        trainer.maybe_resume()
+        from nvae_tpu.utils.images import sample_to_dir
+
+        for t in [0.7, 0.8, 0.9, 1.0]:
+            out_dir = os.path.join(args.sample_dir, f"t_{t:.1f}")
+            n = sample_to_dir(
+                lambda n_, t_, b: np.asarray(trainer.sample_images(n_, t_)[0]),
+                args.batch_size,
+                args.n_samples,
+                t,
+                out_dir,
+            )
+            print(f"Wrote {n} samples at T={t} to {out_dir}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

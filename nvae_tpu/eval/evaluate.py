@@ -1,0 +1,202 @@
+"""Evaluation orchestrator (reference ``evaluate_model``, ``evaluate.py:48-108``).
+
+Protocol parity: for each temperature in {0.6, 0.8, 1.0}, ``n_attempts``
+rounds of {generation, precision/recall against microbatched test data, PPL
+via slerp through the final decoder group}; then FID on 10,000 generated
+samples; finally IWAE NLL over the test set.  All feature extraction and
+distance math runs batched on device.
+
+Result dataclasses mirror reference ``util.py:53-75`` (Metric / Metrics /
+ModelEvaluation) with JSON export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvae_tpu.eval import ppl as ppl_mod
+from nvae_tpu.eval.features import extract_features, get_extractor
+from nvae_tpu.eval.frechet import fid_from_features
+from nvae_tpu.eval.nll import neg_log_likelihood
+from nvae_tpu.eval.precision_recall import knn_precision_recall_features
+from nvae_tpu.models import NVAE
+
+EVAL_TEMPERATURES = (0.6, 0.8, 1.0)  # reference evaluate.py:58
+FID_SAMPLE_SIZE = 10000  # reference evaluate.py:156 ("recommended by author")
+
+
+@dataclasses.dataclass
+class Metric:
+    mean: float
+    stddev: float
+
+    @staticmethod
+    def from_list(values) -> "Metric":
+        return Metric(float(np.mean(values)), float(np.std(values)))
+
+    def __str__(self):
+        return f"{self.mean:.4f} ± {self.stddev:.4f}"
+
+
+@dataclasses.dataclass
+class Metrics:
+    temperature: float
+    fid: float
+    ppl: Metric
+    precision: Metric
+    recall: Metric
+
+
+@dataclasses.dataclass
+class ModelEvaluation:
+    nll: Optional[Metric]
+    sample_metrics: List[Metrics]
+    feature_backbone: str = "random_conv"
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def evaluate_model(
+    trainer,
+    test_iter,
+    batch_size: int,
+    n_attempts: int = 10,
+    binary: bool = False,
+    temperatures=EVAL_TEMPERATURES,
+    fid_sample_size: int = FID_SAMPLE_SIZE,
+    feature_backbone: str = "vgg16",
+    seed: int = 0,
+) -> ModelEvaluation:
+    """Full evaluation pass.  ``trainer`` provides the model + params
+    (anything with ``.model``, ``.state`` and ``.sample_images``)."""
+    model: NVAE = trainer.model
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+        **(
+            {"spectral": trainer.state.spectral}
+            if trainer.state.spectral
+            else {}
+        ),
+    }
+    extractor = get_extractor(feature_backbone)
+    rng = jax.random.PRNGKey(seed)
+
+    # Real test images, loaded once (greyscale probs in [0,1]).
+    test_batches = list(test_iter.epoch(0))
+    real_images = np.concatenate([np.asarray(b) for b in test_batches])
+    real_feats = extract_features(real_images, extractor)
+
+    def _sample_impl(v, key, t, n):
+        return model.apply(
+            v, n, t, not binary, rngs={"sample": key}, method=NVAE.sample
+        )
+
+    # n and temperature are static: a handful of (n, t) pairs -> few compiles.
+    sample_jit = jax.jit(_sample_impl, static_argnums=(2, 3))
+
+    def sample(n, t, key):
+        return sample_jit(variables, key, float(t), int(n))
+
+    sample_with_z_jit = jax.jit(
+        lambda v, z, s, key: model.apply(
+            v, z, s, rngs={"sample": key}, method=NVAE.sample_with_z
+        )
+    )
+
+    evaluation = ModelEvaluation(
+        nll=None, sample_metrics=[], feature_backbone=feature_backbone
+    )
+    for t_i, temperature in enumerate(temperatures):
+        precisions, recalls, ppls = [], [], []
+        for attempt in range(n_attempts):
+            key = jax.random.fold_in(rng, t_i * 1000 + attempt)
+            k1, k2, k3 = jax.random.split(key, 3)
+            images, last_s, z1, z2 = sample(batch_size, temperature, k1)
+
+            # Precision/recall: generated vs real features, microbatched in
+            # halves like the reference (evaluate.py:70-74).
+            p_sum, r_sum, n_micro = 0.0, 0.0, 0
+            for b_i, real_batch in enumerate(test_batches):
+                halves = np.split(np.asarray(real_batch), 2)
+                for h_i, half in enumerate(halves):
+                    kk = jax.random.fold_in(k2, b_i * 10 + h_i)
+                    gen, *_ = sample(len(half), temperature, kk)
+                    gen_f = extract_features(np.asarray(gen), extractor)
+                    real_f = extract_features(half, extractor)
+                    pr = knn_precision_recall_features(real_f, gen_f)
+                    p_sum += pr["precision"]
+                    r_sum += pr["recall"]
+                    n_micro += 1
+            precisions.append(p_sum / max(n_micro // 2, 1))
+            recalls.append(r_sum / max(n_micro // 2, 1))
+
+            # PPL through the final decoder group (evaluate.py:80-86).
+            za, zb = ppl_mod.slerp_pair(z1, z2, k3)
+            img_a = sample_with_z_jit(variables, za, last_s, k3)
+            img_b = sample_with_z_jit(variables, zb, last_s, k3)
+            fa = extract_features(np.asarray(img_a), extractor)
+            fb = extract_features(np.asarray(img_b), extractor)
+            ppls.append(ppl_mod.evaluate(fa, fb))
+
+        # FID at this temperature over fid_sample_size samples.
+        gen_feats = []
+        n_batches = max(fid_sample_size // batch_size, 1)
+        for b in range(n_batches):
+            kk = jax.random.fold_in(rng, 555000 + t_i * 1000 + b)
+            gen, *_ = sample(batch_size, temperature, kk)
+            gen_feats.append(extract_features(np.asarray(gen), extractor))
+        fid = fid_from_features(real_feats, np.concatenate(gen_feats))
+
+        evaluation.sample_metrics.append(
+            Metrics(
+                temperature=temperature,
+                fid=fid,
+                ppl=Metric.from_list(ppls),
+                precision=Metric.from_list(precisions),
+                recall=Metric.from_list(recalls),
+            )
+        )
+
+    mean, std = neg_log_likelihood(
+        model, variables, test_batches, jax.random.fold_in(rng, 999),
+        n_attempts=n_attempts,
+    )
+    evaluation.nll = Metric(mean, std)
+    return evaluation
+
+
+def evaluate_fid_against_dir(
+    trainer,
+    real_dir: str,
+    out_dir: str,
+    batch_size: int,
+    temperature: float,
+    sample_size: int = FID_SAMPLE_SIZE,
+    feature_backbone: str = "vgg16",
+) -> float:
+    """The reference's disk-based FID protocol (``evaluate.py:143-163``):
+    real PNGs in ``real_dir``; regenerate ``sample_size`` PNGs into
+    ``out_dir``; FID between the two directories — but with feature
+    extraction batched on device instead of a TF1 session."""
+    from nvae_tpu.utils.images import load_images_from_dir, sample_to_dir
+
+    for f in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        os.remove(os.path.join(out_dir, f))
+    sample_to_dir(
+        lambda n, t, b: np.asarray(trainer.sample_images(n, t)[0]),
+        batch_size, sample_size, temperature, out_dir,
+    )
+    extractor = get_extractor(feature_backbone)
+    real = load_images_from_dir(real_dir).astype(np.float32) / 255.0
+    gen = load_images_from_dir(out_dir).astype(np.float32) / 255.0
+    return fid_from_features(
+        extract_features(real, extractor), extract_features(gen, extractor)
+    )

@@ -1,0 +1,7 @@
+from nvae_tpu.parallel.mesh import (  # noqa: F401
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_state,
+)

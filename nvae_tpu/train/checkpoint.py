@@ -1,0 +1,44 @@
+"""Atomic full-state checkpointing via orbax.
+
+The reference saves weights only and mis-restores the warm-up counter
+(``train.py:133-135``; optimizer moments and RNG are lost on resume, SURVEY
+§5).  Here the whole :class:`TrainState` pytree — params, BN stats, spectral
+vectors, Adamax moments, step, RNG key — round-trips atomically, with
+auto-resume from the latest step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state) -> None:
+    with _manager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with _manager(ckpt_dir) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None):
+    """Restore into the structure of ``state_template`` (a concrete state)."""
+    with _manager(ckpt_dir) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))

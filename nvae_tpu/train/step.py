@@ -1,0 +1,123 @@
+"""The jitted train step — the framework's hot loop.
+
+One XLA program per step: forward, ELBO with KL warm-up/balancing, penalties,
+backward, Adamax update, spectral projection — where the reference runs
+op-by-op eager Python (``model.compile(run_eagerly=True)``, reference
+``train.py:132``; 49-104 h wall-clock for 400 MNIST epochs, BASELINE.md).
+
+Donated state, explicit RNG folding per step, metrics returned as a dict.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nvae_tpu.config import ModelConfig, TrainConfig
+from nvae_tpu.models import NVAE
+from nvae_tpu.train import losses
+from nvae_tpu.train.optim import find_spectral_state, spectral_penalty
+from nvae_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: NVAE,
+    tx: optax.GradientTransformation,
+    train_cfg: TrainConfig,
+    total_steps: int,
+    steps_per_epoch: int,
+    donate: bool = True,
+):
+    """Returns ``step_fn(state, batch) -> (state, metrics)``, jit-compiled.
+
+    ``batch`` is a (B, H, W, C) float array in [0, 1] (already binarized for
+    Bernoulli configs — binarization happens device-side in the data layer).
+    """
+    model_cfg: ModelConfig = model.cfg
+    total_epochs = max(total_steps // max(steps_per_epoch, 1), 1)
+
+    def step_fn(state: TrainState, batch: jax.Array) -> Tuple[TrainState, dict]:
+        rng = jax.random.fold_in(state.rng, state.step)
+        epoch = state.step // steps_per_epoch
+        beta = losses.beta_schedule(
+            state.step,
+            epoch,
+            train_cfg=train_cfg,
+            total_steps=total_steps,
+            total_epochs=total_epochs,
+        )
+
+        sn_u = None
+        if model_cfg.spectral_mode == "penalty":
+            sn_state = find_spectral_state(state.opt_state)
+            sn_u = sn_state.u if sn_state is not None else None
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            mutable = ["batch_stats"]
+            if state.spectral:
+                variables["spectral"] = state.spectral
+                mutable.append("spectral")
+            out, mutated = model.apply(
+                variables,
+                batch,
+                True,  # train
+                rngs={"sample": rng},
+                mutable=mutable,
+            )
+            loss, metrics = losses.elbo_loss(out, batch, beta, model_cfg)
+            bn_loss = losses.bn_gamma_penalty(params, model_cfg.sr_lambda)
+            loss = loss + bn_loss
+            metrics["bn_loss"] = bn_loss
+            if sn_u is not None:
+                sr = spectral_penalty(params, sn_u, model_cfg.sr_lambda)
+                loss = loss + sr
+                metrics["spectral_loss"] = sr
+            return loss, (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            epoch=epoch,
+            params=new_params,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            spectral=mutated.get("spectral", state.spectral),
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    if donate:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn)
+
+
+def make_eval_step(model: NVAE, train_cfg: TrainConfig):
+    """Jitted eval step: ELBO pieces on a batch without gradient/updates."""
+    model_cfg: ModelConfig = model.cfg
+
+    @jax.jit
+    def eval_fn(state: TrainState, batch: jax.Array, rng: jax.Array) -> dict:
+        out = model.apply(
+            state.variables(), batch, False, rngs={"sample": rng}
+        )
+        rl = losses.recon_loss(
+            out.logits, batch, model_cfg.likelihood, model_cfg.n_mix
+        )
+        kl_all = losses.kl_per_group(out.latents)
+        return {
+            "reconstruction_loss": jnp.mean(rl),
+            "kl_loss": jnp.mean(jnp.sum(kl_all, axis=0)),
+            "elbo": jnp.mean(rl + jnp.sum(kl_all, axis=0)),
+        }
+
+    return eval_fn

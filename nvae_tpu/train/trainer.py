@@ -1,0 +1,198 @@
+"""The training run loop (reference ``train.py:17-55`` capability).
+
+Epoch loop over the jitted train step with:
+
+- per-epoch scalar logging (JSONL + TensorBoard),
+- periodic sample/reconstruction image dumps at the reference's temperatures
+  (``evaluate.py:15-45`` hooks),
+- periodic + final full-state checkpoints with auto-resume,
+- optional early stopping with best-weight restoration
+  (reference ``train.py:35-38``),
+- per-epoch throughput accounting and an optional ``jax.profiler`` trace —
+  the instrumentation the reference lacks entirely (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvae_tpu.config import ModelConfig, TrainConfig
+from nvae_tpu.data.pipeline import BatchIterator
+from nvae_tpu.models import NVAE
+from nvae_tpu.train import checkpoint as ckpt
+from nvae_tpu.train.state import TrainState, create_train_state
+from nvae_tpu.train.step import make_train_step
+from nvae_tpu.utils.logging import MetricsLogger
+
+SAMPLE_TEMPERATURES = (0.7, 0.8, 0.9, 1.0)  # reference evaluate.py:16
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: TrainState
+    history: list
+    best_loss: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        steps_per_epoch: int,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.total_steps = steps_per_epoch * train_cfg.epochs
+        self.mesh = mesh
+        self.logger = logger
+        self.model, self.state, self.tx = create_train_state(
+            model_cfg, train_cfg, self.total_steps
+        )
+        if mesh is not None:
+            from nvae_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, mesh)
+        self.step_fn = make_train_step(
+            self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch
+        )
+        self._sampler_cache = {}
+
+    # ---- sampling helpers -------------------------------------------------
+
+    def sample_images(
+        self, n: int, temperature: float, rng: Optional[jax.Array] = None
+    ):
+        """Jit-cached unconditional sampling on the current params."""
+        key = (n, float(temperature))
+        if key not in self._sampler_cache:
+            def fn(variables, rng_):
+                return self.model.apply(
+                    variables, n, temperature, rngs={"sample": rng_},
+                    method=NVAE.sample,
+                )
+
+            self._sampler_cache[key] = jax.jit(fn)
+        if rng is None:
+            rng = jax.random.fold_in(self.state.rng, 7 + int(self.state.step))
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            **({"spectral": self.state.spectral} if self.state.spectral else {}),
+        }
+        return self._sampler_cache[key](variables, rng)
+
+    def reconstruct_images(self, batch):
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            **({"spectral": self.state.spectral} if self.state.spectral else {}),
+        }
+        return self.model.apply(
+            variables, batch[:3],
+            rngs={"sample": jax.random.PRNGKey(0)},
+            method=NVAE.reconstruct,
+        )
+
+    # ---- checkpointing ----------------------------------------------------
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.abspath(self.train_cfg.model_save_dir)
+
+    def maybe_resume(self) -> int:
+        """Restore the latest checkpoint if present; returns start epoch."""
+        tc = self.train_cfg
+        step = None
+        if tc.resume_from > 0:
+            step = tc.resume_from * self.steps_per_epoch
+        else:
+            step = ckpt.latest_step(self.ckpt_dir)
+        if step is None:
+            return 0
+        try:
+            self.state = ckpt.restore_checkpoint(self.ckpt_dir, self.state, step)
+        except FileNotFoundError:
+            return 0
+        return int(step) // self.steps_per_epoch
+
+    # ---- main loop --------------------------------------------------------
+
+    def fit(
+        self,
+        train_iter: BatchIterator,
+        test_iter: Optional[BatchIterator] = None,
+        on_epoch_end: Optional[Callable] = None,
+        profile_dir: Optional[str] = None,
+    ) -> TrainResult:
+        tc = self.train_cfg
+        history = []
+        best_loss, best_state, patience_left = float("inf"), None, tc.patience
+        start_epoch = self.maybe_resume()
+
+        for epoch in range(start_epoch, tc.epochs):
+            t0 = time.time()
+            if profile_dir and epoch == start_epoch + 1:
+                jax.profiler.start_trace(profile_dir)
+            agg, n_batches = {}, 0
+            for batch in train_iter.epoch(epoch):
+                self.state, metrics = self.step_fn(self.state, batch)
+                n_batches += 1
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + v
+            jax.block_until_ready(self.state.params)
+            if profile_dir and epoch == start_epoch + 1:
+                jax.profiler.stop_trace()
+            dt = time.time() - t0
+            means = {k: float(np.asarray(v)) / n_batches for k, v in agg.items()}
+            means["epoch_seconds"] = dt
+            means["images_per_sec"] = n_batches * train_iter.batch_size / dt
+            history.append(means)
+            if self.logger and epoch % tc.log_frequency == 0:
+                self.logger.scalars(epoch, means, prefix="train/")
+
+            # Periodic image hooks (reference train.py:23-26).
+            if self.logger and epoch % tc.sample_frequency == 0:
+                for t in SAMPLE_TEMPERATURES:
+                    images, *_ = self.sample_images(3, t)
+                    self.logger.images(epoch, f"samples_t{t:.1f}", np.asarray(images))
+                if test_iter is not None:
+                    test_batch = next(iter(test_iter.epoch(0)))
+                    recon = self.reconstruct_images(test_batch)
+                    pair = np.concatenate(
+                        [np.asarray(test_batch[:3]), np.asarray(recon)], axis=2
+                    )
+                    self.logger.images(epoch, "test_reconstruction", pair)
+
+            if epoch % tc.model_save_frequency == 0:
+                ckpt.save_checkpoint(self.ckpt_dir, int(self.state.step), self.state)
+
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, self, means)
+
+            # Early stopping on training loss (reference EarlyStopping default).
+            if tc.patience:
+                if means["loss"] < best_loss - 1e-9:
+                    best_loss, patience_left = means["loss"], tc.patience
+                    best_state = jax.tree.map(np.asarray, self.state)
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        if best_state is not None:
+                            self.state = jax.tree.map(jnp.asarray, best_state)
+                        break
+            else:
+                best_loss = min(best_loss, means["loss"])
+
+        ckpt.save_checkpoint(self.ckpt_dir, int(self.state.step), self.state)
+        return TrainResult(state=self.state, history=history, best_loss=best_loss)

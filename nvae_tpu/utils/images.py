@@ -1,0 +1,84 @@
+"""Image I/O and tiling utilities (reference ``util.py:12-36`` capability).
+
+PNG encode/decode via PIL on host; generation stays batched on device and
+only the final uint8 grid crosses to the host.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from typing import Optional
+
+import numpy as np
+
+
+def tile_images(images: np.ndarray) -> np.ndarray:
+    """(n^2, H, W, C) -> (n*H, n*W, C) square grid (reference ``util.py:12-19``)."""
+    n = int(math.floor(math.sqrt(images.shape[0])))
+    _, h, w, c = images.shape
+    x = images[: n * n].reshape(n, n, h, w, c)
+    x = np.transpose(x, (2, 0, 3, 1, 4))  # same permutation as the reference
+    return x.reshape(n * h, n * w, c)
+
+
+def to_uint8(images: np.ndarray) -> np.ndarray:
+    if images.dtype == np.uint8:
+        return images
+    return np.clip(np.asarray(images) * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_images_to_dir(images, out_dir: str) -> None:
+    """Write each image as a uuid4-named PNG (reference ``util.py:31-36``)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    arr = to_uint8(np.asarray(images))
+    for img in arr:
+        if img.shape[-1] == 1:
+            img = img[..., 0]
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f"{uuid.uuid4()}.png")
+        )
+
+
+def load_images_from_dir(
+    in_dir: str, limit: Optional[int] = None
+) -> np.ndarray:
+    """Read every PNG/JPG in a directory into one uint8 NHWC array — the
+    directory half of the reference's file-based FID protocol
+    (``fid_utils.py:404-452``)."""
+    from PIL import Image
+
+    files = sorted(
+        f
+        for f in os.listdir(in_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if limit:
+        files = files[:limit]
+    out = []
+    for f in files:
+        img = np.asarray(Image.open(os.path.join(in_dir, f)))
+        if img.ndim == 2:
+            img = img[..., None]
+        out.append(img)
+    return np.stack(out)
+
+
+def sample_to_dir(
+    sample_fn, batch_size: int, sample_size: int, temperature: float,
+    out_dir: str,
+) -> int:
+    """Generate ``sample_size`` images in batches and write PNGs (reference
+    ``util.py:22-28``).  ``sample_fn(n, t, batch_index)`` returns device
+    images in [0, 1].  Returns the number written."""
+    os.makedirs(out_dir, exist_ok=True)
+    batches = max(sample_size // batch_size, 1)
+    written = 0
+    for b in range(batches):
+        images = sample_fn(batch_size, temperature, b)
+        save_images_to_dir(np.asarray(images), out_dir)
+        written += batch_size
+    return written

@@ -20,6 +20,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Repo root on sys.path so `import nvae_tpu` works without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Some environments register an accelerator plugin in sitecustomize and
+# force `jax_platforms` there, overriding the env var. Re-assert CPU after
+# importing jax so tests never silently run through an accelerator tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,143 @@
+"""Metric-suite tests: Frechet vs scipy, k-NN P&R ground truths, PPL, NLL."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from nvae_tpu.eval.frechet import (
+    activation_statistics,
+    fid_from_features,
+    frechet_distance,
+)
+from nvae_tpu.eval.features import extract_features, get_extractor
+from nvae_tpu.eval.ppl import evaluate as ppl_evaluate, slerp_pair
+from nvae_tpu.eval.precision_recall import (
+    knn_precision_recall_features,
+    pairwise_sq_dists,
+)
+
+
+class TestFrechet:
+    def test_matches_scipy_sqrtm(self):
+        rng = np.random.RandomState(0)
+        d = 16
+        a = rng.randn(200, d).astype(np.float32)
+        b = (rng.randn(220, d) * 1.5 + 0.3).astype(np.float32)
+        mu1, c1 = activation_statistics(jnp.asarray(a))
+        mu2, c2 = activation_statistics(jnp.asarray(b))
+        got = float(frechet_distance(mu1, c1, mu2, c2))
+        # Reference formula via scipy (fid_utils.py:320-371).
+        m1, s1 = a.mean(0), np.cov(a, rowvar=False)
+        m2, s2 = b.mean(0), np.cov(b, rowvar=False)
+        covmean = scipy.linalg.sqrtm(s1.dot(s2)).real
+        want = np.sum((m1 - m2) ** 2) + np.trace(s1 + s2 - 2 * covmean)
+        np.testing.assert_allclose(got, want, rtol=2e-2)
+
+    def test_identical_distributions_near_zero(self):
+        rng = np.random.RandomState(1)
+        a = rng.randn(500, 8).astype(np.float32)
+        assert fid_from_features(a, a.copy()) < 1e-6
+        # Device (fp32) path stays within float noise.
+        assert fid_from_features(a, a.copy(), precise=False) < 0.05
+
+    def test_separated_gaussians_positive(self):
+        rng = np.random.RandomState(2)
+        a = rng.randn(300, 8).astype(np.float32)
+        b = rng.randn(300, 8).astype(np.float32) + 5.0
+        fid = fid_from_features(a, b)
+        # Mean shift of 5 in 8 dims -> |mu diff|^2 = 8*25 = 200.
+        assert 150 < fid < 260, fid
+
+
+class TestPrecisionRecall:
+    def test_pairwise_distances_match_numpy(self):
+        rng = np.random.RandomState(3)
+        u = rng.randn(10, 4).astype(np.float32)
+        v = rng.randn(12, 4).astype(np.float32)
+        got = np.asarray(pairwise_sq_dists(jnp.asarray(u), jnp.asarray(v)))
+        want = ((u[:, None] - v[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_identical_sets_give_perfect_pr(self):
+        rng = np.random.RandomState(4)
+        feats = rng.randn(200, 16).astype(np.float32)
+        pr = knn_precision_recall_features(feats, feats.copy())
+        assert pr["precision"] == pytest.approx(1.0)
+        assert pr["recall"] == pytest.approx(1.0)
+
+    def test_disjoint_sets_give_zero_pr(self):
+        rng = np.random.RandomState(5)
+        a = rng.randn(200, 16).astype(np.float32)
+        b = rng.randn(200, 16).astype(np.float32) + 100.0
+        pr = knn_precision_recall_features(a, b)
+        assert pr["precision"] == pytest.approx(0.0)
+        assert pr["recall"] == pytest.approx(0.0)
+
+    def test_subset_relationship(self):
+        """Generated ⊂ real manifold: precision high, recall low."""
+        rng = np.random.RandomState(6)
+        real = rng.randn(400, 8).astype(np.float32) * 3
+        gen = rng.randn(400, 8).astype(np.float32) * 0.3  # tight cluster
+        pr = knn_precision_recall_features(real, gen)
+        assert pr["precision"] > 0.8
+        assert pr["recall"] < 0.5
+
+
+class TestPPL:
+    def test_slerp_pair_shapes(self):
+        rng = jax.random.PRNGKey(0)
+        z1 = jax.random.normal(rng, (6, 4, 4, 8))
+        z2 = jax.random.normal(jax.random.fold_in(rng, 1), (6, 4, 4, 8))
+        a, b = slerp_pair(z1, z2, jax.random.fold_in(rng, 2))
+        assert a.shape == z1.shape and b.shape == z1.shape
+        # eps-perturbed pair is close but not identical.
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert 0 < d < 0.1
+
+    def test_evaluate_scales_with_displacement(self):
+        rng = np.random.RandomState(7)
+        act = rng.randn(64, 32).astype(np.float32)
+        small = ppl_evaluate(act, act + 1e-5)
+        large = ppl_evaluate(act, act + 1e-3)
+        assert large > small > 0
+
+
+class TestFeatures:
+    def test_random_conv_deterministic(self):
+        x = np.random.RandomState(8).rand(4, 32, 32, 1).astype(np.float32)
+        f = get_extractor("random_conv")
+        a = extract_features(x, f)
+        b = extract_features(x, f)
+        np.testing.assert_allclose(a, b)
+        assert a.shape == (4, 512)
+
+    def test_vgg16_runs_without_weights(self):
+        x = np.random.RandomState(9).rand(2, 32, 32, 1).astype(np.float32)
+        f = get_extractor("vgg16", input_size=64)
+        feats = extract_features(x, f)
+        assert feats.shape == (2, 512)
+        assert np.all(np.isfinite(feats))
+
+
+@pytest.mark.slow
+def test_nll_on_trained_small_model():
+    """IWAE NLL runs and bounds the ELBO direction-wise on a tiny model."""
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.eval.nll import neg_log_likelihood
+    from nvae_tpu.train.state import create_train_state
+
+    model_cfg = debug_config()
+    model, state, tx = create_train_state(
+        model_cfg, TrainConfig(), total_steps=10
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = (
+        jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 1)) > 0.5
+    ).astype(jnp.float32)
+    mean, std = neg_log_likelihood(
+        model, variables, [batch], jax.random.PRNGKey(1), n_attempts=3
+    )
+    assert np.isfinite(mean) and std >= 0
+    assert mean > 0  # NLL of binary images is positive

@@ -1,0 +1,174 @@
+"""End-to-end model tests: shapes, latent structure, sampling, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nvae_tpu.config import ModelConfig, debug_config
+from nvae_tpu.models import NVAE
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = debug_config()
+    model = NVAE(cfg)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x,
+        True,
+    )
+    return cfg, model, variables
+
+
+def test_forward_shapes(small_model):
+    cfg, model, variables = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    out, _ = model.apply(
+        variables, x, True, rngs={"sample": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    assert out.logits.shape == (2, 32, 32, 1)
+    assert len(out.latents) == cfg.n_total_groups
+    shapes = cfg.shapes()
+    # Latents are ordered top-down: first groups at base resolution.
+    groups_topdown = tuple(reversed(cfg.n_groups_per_scale))
+    i = 0
+    for scale in range(cfg.n_latent_scales):
+        for _ in range(groups_topdown[scale]):
+            lat = out.latents[i]
+            size = shapes.dec_scale_sizes[scale]
+            assert lat.enc_mu.shape == (2, size, size, cfg.n_latent_per_group), i
+            i += 1
+    # Group 0's prior is standard normal.
+    np.testing.assert_allclose(out.latents[0].dec_mu, 0.0)
+    np.testing.assert_allclose(out.latents[0].dec_sigma, 1.0)
+    # Sigma heads respect the softclamp floor/ceiling.
+    for lat in out.latents:
+        assert float(jnp.min(lat.enc_sigma)) >= 1e-2
+        assert float(jnp.max(lat.enc_sigma)) <= np.exp(5.0) + 1e-2 + 1e-3
+
+
+def test_nll_mode_accumulates_log_probs(small_model):
+    cfg, model, variables = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 1))
+    out = model.apply(
+        variables, x, False, True, rngs={"sample": jax.random.PRNGKey(5)}
+    )
+    assert out.log_p.shape == (2,)
+    assert out.log_q.shape == (2,)
+    assert float(jnp.sum(jnp.abs(out.log_p))) > 0.0
+    assert float(jnp.sum(jnp.abs(out.log_q))) > 0.0
+    # Non-nll mode leaves them zero.
+    out0 = model.apply(
+        variables, x, False, False, rngs={"sample": jax.random.PRNGKey(5)}
+    )
+    np.testing.assert_allclose(out0.log_p, 0.0)
+
+
+def test_batch_size_one_works(small_model):
+    """The reference's tf.squeeze defect breaks batch size 1
+    (common.py:73, SURVEY defects); this framework must not."""
+    cfg, model, variables = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 1))
+    out = model.apply(
+        variables, x, False, rngs={"sample": jax.random.PRNGKey(7)}
+    )
+    assert out.logits.shape == (1, 32, 32, 1)
+
+
+def test_sample_shapes_and_range(small_model):
+    cfg, model, variables = small_model
+    images, last_s, z1, z2 = model.apply(
+        variables, 4, 0.8, rngs={"sample": jax.random.PRNGKey(8)},
+        method=NVAE.sample,
+    )
+    assert images.shape == (4, 32, 32, 1)
+    assert float(jnp.min(images)) >= 0.0 and float(jnp.max(images)) <= 1.0
+    base = cfg.shapes().dec_scale_sizes[-1]
+    assert z1.shape == (4, base, base, cfg.n_latent_per_group)
+    assert z2.shape == z1.shape
+    # last_s feeds the final combiner: spatial size of the last scale.
+    assert last_s.shape[1] == base
+
+
+def test_sample_with_z_matches_interp_contract(small_model):
+    cfg, model, variables = small_model
+    images, last_s, z1, z2 = model.apply(
+        variables, 2, 1.0, rngs={"sample": jax.random.PRNGKey(9)},
+        method=NVAE.sample,
+    )
+    out = model.apply(
+        variables, z1, last_s, rngs={"sample": jax.random.PRNGKey(10)},
+        method=NVAE.sample_with_z,
+    )
+    assert out.shape == images.shape
+
+
+def test_sampling_is_rng_deterministic(small_model):
+    cfg, model, variables = small_model
+    a, *_ = model.apply(
+        variables, 2, 1.0, rngs={"sample": jax.random.PRNGKey(11)},
+        method=NVAE.sample,
+    )
+    b, *_ = model.apply(
+        variables, 2, 1.0, rngs={"sample": jax.random.PRNGKey(11)},
+        method=NVAE.sample,
+    )
+    c, *_ = model.apply(
+        variables, 2, 1.0, rngs={"sample": jax.random.PRNGKey(12)},
+        method=NVAE.sample,
+    )
+    np.testing.assert_allclose(a, b)
+    assert float(jnp.max(jnp.abs(a - c))) > 1e-6
+
+
+def test_temperature_changes_spread(small_model):
+    cfg, model, variables = small_model
+    rng = {"sample": jax.random.PRNGKey(13)}
+    cold, *_ = model.apply(variables, 8, 1e-4, rngs=rng, method=NVAE.sample)
+    hot, *_ = model.apply(variables, 8, 1.0, rngs=rng, method=NVAE.sample)
+    # Near-zero temperature collapses z0 to the prior mean -> less sample
+    # diversity (not exactly zero since deeper groups still sample at T=1,
+    # the reference's documented asymmetry).
+    assert float(jnp.std(cold)) <= float(jnp.std(hot)) + 1e-3
+
+
+def test_default_config_param_count():
+    """Default MNIST model builds with the documented architecture scale."""
+    cfg = ModelConfig()
+    model = NVAE(cfg)
+    x = jnp.zeros((1, 32, 32, 1))
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)},
+            x,
+            True,
+        )
+    )
+    n_params = sum(
+        np.prod(p.shape) for p in jax.tree.leaves(variables["params"])
+    )
+    # The reference paper quotes ~21M parameters for this configuration.
+    assert 5e6 < n_params < 60e6, n_params
+
+
+def test_dml_likelihood_head():
+    cfg = debug_config(likelihood="dml", in_channels=3, n_mix=4)
+    model = NVAE(cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x,
+        True,
+    )
+    out = model.apply(
+        variables, x, False, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    assert out.logits.shape == (2, 32, 32, 4 * (1 + 2 * 3))
+    images, *_ = model.apply(
+        variables, 2, 1.0, rngs={"sample": jax.random.PRNGKey(3)},
+        method=NVAE.sample,
+    )
+    assert images.shape == (2, 32, 32, 3)

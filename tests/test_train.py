@@ -1,0 +1,114 @@
+"""Train-step integration tests: optimization works, spectral strategies hold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nvae_tpu.config import TrainConfig, debug_config
+from nvae_tpu.nn.spectral import is_sn_kernel_path, power_iteration
+from nvae_tpu.train.optim import find_spectral_state, make_optimizer
+from nvae_tpu.train.state import create_train_state
+from nvae_tpu.train.step import make_eval_step, make_train_step
+
+
+def _setup(spectral_mode="projection", **train_overrides):
+    model_cfg = debug_config(spectral_mode=spectral_mode)
+    train_cfg = TrainConfig(
+        epochs=2, batch_size=4, step_based_warmup=True, **train_overrides
+    )
+    model, state, tx = create_train_state(
+        model_cfg, train_cfg, total_steps=100
+    )
+    step_fn = make_train_step(
+        model, tx, train_cfg, total_steps=100, steps_per_epoch=50, donate=False
+    )
+    batch = (
+        jax.random.uniform(jax.random.PRNGKey(42), (4, 32, 32, 1)) > 0.5
+    ).astype(jnp.float32)
+    return model, state, tx, step_fn, batch
+
+
+@pytest.mark.slow
+def test_train_step_reduces_loss():
+    model, state, tx, step_fn, batch = _setup()
+    first_recon = first_kl = None
+    for i in range(8):
+        state, metrics = step_fn(state, batch)
+        if i == 0:
+            first_recon = float(metrics["reconstruction_loss"])
+            first_kl = float(metrics["kl_raw"])
+    assert int(state.step) == 8
+    last_recon = float(metrics["reconstruction_loss"])
+    last_kl = float(metrics["kl_raw"])
+    assert np.isfinite(last_recon) and np.isfinite(float(metrics["loss"]))
+    # Overfitting a single small batch: the ELBO pieces must both drop.
+    # (The *total* loss can rise during beta warm-up as KL gets weighted in.)
+    assert last_recon < first_recon, (first_recon, last_recon)
+    assert last_kl < first_kl, (first_kl, last_kl)
+    # Metrics dict carries the reference's loss decomposition keys.
+    for key in ("loss", "reconstruction_loss", "kl_loss", "bn_loss", "beta"):
+        assert key in metrics
+
+
+@pytest.mark.slow
+def test_spectral_projection_keeps_unit_sigma():
+    model, state, tx, step_fn, batch = _setup("projection")
+    for _ in range(5):
+        state, _ = step_fn(state, batch)
+    sn_state = find_spectral_state(state.opt_state)
+    assert sn_state is not None
+    # Every tagged kernel should now have sigma(W) ~= 1.
+    checked = 0
+    leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    u_leaves = {
+        tuple(str(k) for k in p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(
+            sn_state.u, is_leaf=lambda x: x is None
+        )[0]
+    }
+    for path, w in leaves:
+        if not is_sn_kernel_path(path):
+            continue
+        u = u_leaves[tuple(str(k) for k in path)]
+        # A few extra iterations for an accurate estimate.
+        for _ in range(10):
+            sigma, u = power_iteration(w.reshape(-1, w.shape[-1]), u)
+        # One power iteration per step tracks sigma with ~10% lag on a few
+        # kernels (same lag as TFA's per-forward iteration).
+        np.testing.assert_allclose(float(sigma), 1.0, rtol=0.15)
+        checked += 1
+    assert checked > 10
+
+
+@pytest.mark.slow
+def test_penalty_mode_runs_and_tracks():
+    model, state, tx, step_fn, batch = _setup("penalty")
+    state, metrics = step_fn(state, batch)
+    assert "spectral_loss" in metrics
+    assert np.isfinite(float(metrics["spectral_loss"]))
+    assert float(metrics["spectral_loss"]) > 0.0
+
+
+@pytest.mark.slow
+def test_eval_step_and_beta_warmup():
+    model, state, tx, step_fn, batch = _setup()
+    state, m0 = _last = step_fn(state, batch)
+    # Warm-up: beta at step 0 is 0 and grows.
+    assert float(m0["beta"]) == 0.0
+    state, m1 = step_fn(state, batch)
+    assert float(m1["beta"]) > 0.0
+    eval_fn = make_eval_step(model, TrainConfig())
+    em = eval_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(em["elbo"]))
+
+
+@pytest.mark.slow
+def test_rng_folding_gives_different_noise_per_step():
+    """Two consecutive steps on the same batch must use different sample
+    noise (the reference relies on global RNG; we fold the step counter)."""
+    model, state, tx, step_fn, batch = _setup()
+    s1, m1 = step_fn(state, batch)
+    # Re-run from the same state: identical (deterministic).
+    s1b, m1b = step_fn(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m1b["loss"]), rtol=1e-6)
