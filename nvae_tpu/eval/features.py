@@ -129,9 +129,31 @@ def get_extractor(
                 jax.random.PRNGKey(16), jnp.zeros((1, size, size, 3))
             )
     elif name in ("inception", "inception_v3", "iv3"):
-        # Full InceptionV3 port pending; VGG16 trunk is the stand-in feature
-        # space (clearly reported by callers in metric metadata).
-        return get_extractor("vgg16", input_size or 299, weights_path)
+        from nvae_tpu.eval.inception import InceptionV3Features
+
+        size = input_size or 299
+        net = InceptionV3Features()
+        path = _find_weights("inception_v3", weights_path)
+        if path:
+            with np.load(path) as d:
+                params = {}
+                for key in d.files:
+                    layer, kind = key.rsplit("/", 1)
+                    parts = layer.split("/")
+                    node = params
+                    for p in parts:
+                        node = node.setdefault(p, {})
+                    node[kind] = jnp.asarray(d[key])
+                variables = {"params": params}
+        else:
+            print(
+                "[nvae_tpu.eval] WARNING: no local inception_v3.npz found — "
+                "using fixed-seed random InceptionV3 features. Metric values "
+                "are self-consistent but not comparable to published numbers."
+            )
+            variables = net.init(
+                jax.random.PRNGKey(299), jnp.zeros((1, size, size, 3))
+            )
     else:
         raise ValueError(f"unknown feature extractor {name!r}")
 

@@ -52,7 +52,12 @@ def create_train_state(
     x = jnp.zeros(
         (2, model_cfg.image_size, model_cfg.image_size, model_cfg.in_channels)
     )
-    variables = model.init({"params": init_rng, "sample": sample_rng}, x, True)
+    # jit the whole init: hundreds of layer initializers (plus the
+    # power-iteration warm start in the optimizer) become ONE compiled
+    # program instead of op-by-op dispatch.
+    variables = jax.jit(
+        lambda rngs, x_: model.init(rngs, x_, True)
+    )({"params": init_rng, "sample": sample_rng}, x)
     if tx is None:
         tx = make_optimizer(train_cfg, total_steps, model_cfg.spectral_mode)
     params = variables["params"]
@@ -62,7 +67,7 @@ def create_train_state(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         spectral=variables.get("spectral", {}),
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
         rng=state_rng,
     )
     return model, state, tx

@@ -141,3 +141,11 @@ def test_nll_on_trained_small_model():
     )
     assert np.isfinite(mean) and std >= 0
     assert mean > 0  # NLL of binary images is positive
+
+
+def test_inception_v3_runs_and_outputs_2048():
+    x = np.random.RandomState(10).rand(1, 32, 32, 1).astype(np.float32)
+    f = get_extractor("inception", input_size=128)  # small input: fast test
+    feats = extract_features(x, f)
+    assert feats.shape == (1, 2048)
+    assert np.all(np.isfinite(feats))
