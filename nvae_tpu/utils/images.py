@@ -15,11 +15,17 @@ import numpy as np
 
 
 def tile_images(images: np.ndarray) -> np.ndarray:
-    """(n^2, H, W, C) -> (n*H, n*W, C) square grid (reference ``util.py:12-19``)."""
+    """(n^2, H, W, C) -> (n*H, n*W, C) square grid.
+
+    Same capability as reference ``util.py:12-19`` but with proper tile
+    layout: the reference's ``transpose([2, 0, 3, 1, 4])`` interleaves
+    pixels across images instead of placing contiguous tiles (a latent
+    defect — the function is never called in that checkout, SURVEY §2.4).
+    """
     n = int(math.floor(math.sqrt(images.shape[0])))
     _, h, w, c = images.shape
     x = images[: n * n].reshape(n, n, h, w, c)
-    x = np.transpose(x, (2, 0, 3, 1, 4))  # same permutation as the reference
+    x = np.transpose(x, (0, 2, 1, 3, 4))  # (row, H, col, W, C)
     return x.reshape(n * h, n * w, c)
 
 
@@ -30,17 +36,30 @@ def to_uint8(images: np.ndarray) -> np.ndarray:
 
 
 def save_images_to_dir(images, out_dir: str) -> None:
-    """Write each image as a uuid4-named PNG (reference ``util.py:31-36``)."""
-    from PIL import Image
+    """Write each image as a uuid4-named PNG (reference ``util.py:31-36``).
 
+    Uses the native batch writer (native/pngio.cpp) when built — one C call
+    per batch instead of per-file Python/PIL overhead — with PIL fallback.
+    """
     os.makedirs(out_dir, exist_ok=True)
     arr = to_uint8(np.asarray(images))
-    for img in arr:
-        if img.shape[-1] == 1:
-            img = img[..., 0]
-        Image.fromarray(img).save(
-            os.path.join(out_dir, f"{uuid.uuid4()}.png")
-        )
+    paths = [os.path.join(out_dir, f"{uuid.uuid4()}.png") for _ in arr]
+
+    from nvae_tpu.utils import native_png
+
+    if native_png.available():
+        written = native_png.write_batch(paths, arr)
+        if written == len(arr):
+            return
+        # fall through to PIL for anything the native writer missed
+
+    from PIL import Image
+
+    for img, path in zip(arr, paths):
+        if not os.path.exists(path):
+            if img.shape[-1] == 1:
+                img = img[..., 0]
+            Image.fromarray(img).save(path)
 
 
 def load_images_from_dir(

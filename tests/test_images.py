@@ -1,0 +1,58 @@
+"""Image I/O tests: tiling permutation, PNG round-trips (native + PIL)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nvae_tpu.utils.images import (
+    load_images_from_dir,
+    save_images_to_dir,
+    tile_images,
+    to_uint8,
+)
+
+
+def test_tile_images_permutation():
+    imgs = np.arange(4 * 2 * 3 * 1).reshape(4, 2, 3, 1).astype(np.float32)
+    grid = tile_images(imgs)
+    assert grid.shape == (2 * 2, 2 * 3, 1)
+    # Top-left tile is image 0; its right neighbor is image 1.
+    np.testing.assert_array_equal(grid[:2, :3, 0], imgs[0, :, :, 0])
+    np.testing.assert_array_equal(grid[:2, 3:, 0], imgs[1, :, :, 0])
+
+
+def test_to_uint8():
+    x = np.array([[0.0, 0.5, 1.0]])
+    np.testing.assert_array_equal(to_uint8(x), [[0, 127, 255]])
+    u = np.array([[3]], dtype=np.uint8)
+    assert to_uint8(u) is u
+
+
+def test_save_and_load_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(6, 16, 16, 1).astype(np.float32)
+    save_images_to_dir(imgs, str(tmp_path))
+    files = os.listdir(tmp_path)
+    assert len(files) == 6
+    assert all(f.endswith(".png") for f in files)
+    back = load_images_from_dir(str(tmp_path))
+    assert back.shape == (6, 16, 16, 1)
+    # Values survive the uint8 quantization (order is uuid-scrambled, so
+    # compare sorted pixel populations).
+    np.testing.assert_array_equal(
+        np.sort(back.ravel()), np.sort(to_uint8(imgs).ravel())
+    )
+
+
+def test_native_writer_matches_pil(tmp_path):
+    native_png = pytest.importorskip("nvae_tpu.utils.native_png")
+    if not native_png.available():
+        pytest.skip("native writer not built and no toolchain")
+    from PIL import Image
+
+    imgs = (np.random.RandomState(1).rand(3, 8, 8, 3) * 255).astype(np.uint8)
+    paths = [str(tmp_path / f"{i}.png") for i in range(3)]
+    assert native_png.write_batch(paths, imgs) == 3
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), imgs[i])
