@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
                     help="Fewer steps for a fast smoke run")
+    ap.add_argument("--mode", type=str, default="step",
+                    choices=["step", "epoch"],
+                    help="step: steady-state step timing; epoch: sustained "
+                         "epoch throughput incl. the host input pipeline")
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
@@ -66,6 +70,38 @@ def main():
         model, tx, train_cfg, total_steps,
         steps_per_epoch=60000 // args.batch_size, donate=False,
     )
+
+    if args.mode == "epoch":
+        from nvae_tpu.data import make_iterators, synthetic_dataset
+
+        n_train = 2080 if args.quick else 15000
+        bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
+        train_iter, _ = make_iterators(bundle, args.batch_size)
+        log(f"epoch mode: {len(train_iter)} batches/epoch")
+        # Epoch 0 pays all compiles; epoch 1 is the measurement.
+        for e in range(2):
+            t0 = time.time()
+            n_images = 0
+            for batch in train_iter.epoch(e):
+                state, metrics = step_fn(state, batch)
+                n_images += args.batch_size
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - t0
+            log(f"epoch {e}: {dt:.2f}s, {n_images / dt:.1f} img/s")
+        images_per_sec = n_images / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "train_epoch_throughput_mnist_nvae_b144",
+                    "value": round(images_per_sec, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": round(
+                        images_per_sec / BASELINE_IMAGES_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
 
     # Synthetic binarized batch (throughput is data-independent).
     rng = jax.random.PRNGKey(0)

@@ -93,27 +93,43 @@ class BatchIterator:
     def __len__(self) -> int:
         return self.batches_per_epoch
 
+    def _make_batch(self, order: np.ndarray, e: int, b: int):
+        idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+        host = self.images[idx]
+        if len(host) < self.batch_size and self.drop_remainder:
+            return None
+        dev = jax.device_put(host, self.sharding)
+        key = jax.random.fold_in(self.key, e * 100003 + b)
+        return prepare_batch(
+            dev,
+            key,
+            target_size=self.target_size,
+            binarize=self.binarize,
+            parity_binarize_255=self.parity_binarize_255,
+        )
+
     def epoch(self, epoch_idx: Optional[int] = None) -> Iterator[jax.Array]:
-        """One pass over the data (one shuffle, fresh binarization noise)."""
+        """One pass over the data (one shuffle, fresh binarization noise).
+
+        Double-buffered: batch k+1's host gather + transfer + device prep are
+        dispatched before batch k is consumed, so input work overlaps the
+        train step (JAX dispatch is asynchronous).
+        """
         e = self._epoch if epoch_idx is None else epoch_idx
         self._epoch = e + 1
         order = np.arange(len(self.images))
         if self.shuffle:
             np.random.RandomState(hash((e, 0x5EED)) % (2**31)).shuffle(order)
+        pending = None
         for b in range(self.batches_per_epoch):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            host = self.images[idx]
-            if len(host) < self.batch_size and self.drop_remainder:
+            nxt = self._make_batch(order, e, b)
+            if nxt is None:
                 break
-            dev = jax.device_put(host, self.sharding)
-            key = jax.random.fold_in(self.key, e * 100003 + b)
-            yield prepare_batch(
-                dev,
-                key,
-                target_size=self.target_size,
-                binarize=self.binarize,
-                parity_binarize_255=self.parity_binarize_255,
-            )
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
 
     def __iter__(self):
         return self.epoch()

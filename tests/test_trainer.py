@@ -1,0 +1,76 @@
+"""Trainer-loop integration: fit, image hooks, checkpointing, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nvae_tpu.config import TrainConfig, debug_config
+from nvae_tpu.data import make_iterators, synthetic_dataset
+from nvae_tpu.train.trainer import Trainer
+from nvae_tpu.utils.logging import MetricsLogger
+
+
+def _tiny_cfg():
+    return debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+
+
+@pytest.mark.slow
+def test_fit_resume_and_artifacts(tmp_path):
+    model_cfg = _tiny_cfg()
+    train_cfg = TrainConfig(
+        epochs=2, batch_size=8, sample_frequency=1, model_save_frequency=1,
+        log_frequency=1, step_based_warmup=True,
+        model_save_dir=str(tmp_path / "models"),
+        tensorboard_log_dir=str(tmp_path / "logs"),
+    )
+    bundle = synthetic_dataset(n_train=32, n_test=16, seed=0)
+    train_iter, test_iter = make_iterators(bundle, 8, seed=0)
+    logger = MetricsLogger(train_cfg.tensorboard_log_dir, tensorboard=False)
+    trainer = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter),
+                      logger=logger)
+    result = trainer.fit(train_iter, test_iter)
+    assert len(result.history) == 2
+    assert int(trainer.state.step) == 2 * len(train_iter)
+    # Artifacts: metrics.jsonl, sample + reconstruction PNG dumps, checkpoints.
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+    image_dirs = os.listdir(tmp_path / "logs" / "images")
+    assert any(d.startswith("samples_t") for d in image_dirs)
+    assert any(d.startswith("test_reconstruction") for d in image_dirs)
+
+    # Resume into a fresh trainer: picks up from the final checkpoint.
+    trainer2 = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
+    start_epoch = trainer2.maybe_resume()
+    assert start_epoch == 2
+    a = np.asarray(
+        next(iter(jax.tree.leaves(trainer.state.params)))
+    ) if False else None  # noqa — clarity below
+    import jax
+
+    for x, y in zip(
+        jax.tree.leaves(trainer.state.params),
+        jax.tree.leaves(trainer2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_early_stopping_restores_best(tmp_path):
+    model_cfg = _tiny_cfg()
+    train_cfg = TrainConfig(
+        epochs=50, batch_size=8, patience=1, sample_frequency=1000,
+        model_save_frequency=1000, step_based_warmup=True,
+        model_save_dir=str(tmp_path / "m"),
+        tensorboard_log_dir=str(tmp_path / "l"),
+    )
+    bundle = synthetic_dataset(n_train=16, n_test=8, seed=1)
+    train_iter, _ = make_iterators(bundle, 8, seed=1)
+    trainer = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
+    result = trainer.fit(train_iter)
+    # Early stopping must have fired well before 50 epochs (beta warm-up makes
+    # the total loss rise after the first epochs on a tiny fixed set).
+    assert len(result.history) < 50
+    assert np.isfinite(result.best_loss)
