@@ -85,6 +85,17 @@ def parse_args(argv=None):
     p.add_argument("--temperature_all_groups", action="store_true",
                    help="Apply sampling temperature to every latent group "
                         "(the reference only scales z0)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize residual cells (activation-memory "
+                        "saver for deep/high-res configs)")
+    # Evaluation protocol (reference hardcodes 10 attempts / {0.6,0.8,1.0} /
+    # 10,000 FID samples at evaluate.py:58-156; configurable here).
+    p.add_argument("--eval_attempts", type=int, default=10)
+    p.add_argument("--eval_temperatures", nargs="+", type=float,
+                   default=[0.6, 0.8, 1.0])
+    p.add_argument("--fid_sample_size", type=int, default=10000)
+    p.add_argument("--feature_backbone", type=str, default="vgg16",
+                   choices=["vgg16", "inception", "random_conv"])
     return p.parse_args(argv)
 
 
@@ -113,6 +124,7 @@ def build_configs(args, bundle):
         spectral_mode=args.spectral_mode,
         compute_dtype=args.compute_dtype,
         temperature_all_groups=args.temperature_all_groups,
+        remat=args.remat,
     )
     train_cfg = TrainConfig(
         epochs=args.epochs,
@@ -202,8 +214,14 @@ def main(argv=None):
         from nvae_tpu.eval.evaluate import evaluate_model
 
         evaluation = evaluate_model(
-            trainer, test_iter, batch_size=args.batch_size, n_attempts=10,
+            trainer,
+            test_iter,
+            batch_size=args.batch_size,
+            n_attempts=args.eval_attempts,
             binary=args.binary_eval,
+            temperatures=tuple(args.eval_temperatures),
+            fid_sample_size=args.fid_sample_size,
+            feature_backbone=args.feature_backbone,
         )
         print(f"Negative log likelihood: {evaluation.nll}")
         print(evaluation)

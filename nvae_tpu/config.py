@@ -86,6 +86,10 @@ class ModelConfig:
     spectral_mode: str = "projection"
     # Compute dtype for convolutions ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Rematerialize residual cells in the backward pass (jax.checkpoint):
+    # trades ~25% step FLOPs for a large activation-memory cut — for deeper /
+    # higher-resolution configs (CelebA-64) that would not otherwise fit HBM.
+    remat: bool = False
     # Apply sampling temperature to every latent group. The reference applies
     # temperature only to z0 (models.py:143-144, documented asymmetry SURVEY §3.3).
     temperature_all_groups: bool = False

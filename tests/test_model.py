@@ -191,3 +191,53 @@ def test_annealed_per_scale_temperatures(small_model):
     # All-scales-cold collapses variability much harder than the z0-only
     # temperature path tested elsewhere.
     assert float(jnp.std(cold)) < float(jnp.std(hot))
+
+
+def test_three_scale_deep_hierarchy():
+    """Deeper hierarchies (more scales/groups — the Omniglot/Fashion-MNIST
+    transfer config, BASELINE #3) build and run."""
+    cfg = debug_config(n_groups_per_scale=(1, 2, 2), image_size=32,
+                       n_preprocess_blocks=1)
+    s = cfg.shapes()
+    assert s.enc_scale_sizes == (16, 8, 4)
+    assert s.base_size == 4
+    model = NVAE(cfg)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, True,
+    )
+    out = model.apply(variables, x, False, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.logits.shape == (2, 32, 32, 1)
+    assert len(out.latents) == 5
+    images, *_ = model.apply(
+        variables, 2, 0.8, rngs={"sample": jax.random.PRNGKey(3)},
+        method=NVAE.sample,
+    )
+    assert images.shape == (2, 32, 32, 1)
+
+
+def test_remat_model_forward_and_grads():
+    """Rematerialized cells produce a working, deterministic model with
+    gradients flowing through the checkpoint boundaries (remat only changes
+    the backward-pass schedule, trading recompute for activation memory)."""
+    cfg = debug_config(n_groups_per_scale=(1, 1), n_latent_per_group=2,
+                       remat=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    model = NVAE(cfg)
+    variables = model.init(rngs, x, True)
+    out1 = model.apply(variables, x, False, rngs={"sample": jax.random.PRNGKey(2)})
+    out2 = model.apply(variables, x, False, rngs={"sample": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(np.asarray(out1.logits), np.asarray(out2.logits))
+    assert np.all(np.isfinite(np.asarray(out1.logits)))
+
+    # Gradients flow through every remat boundary.
+    def loss_fn(variables):
+        out = model.apply(variables, x, False,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        return jnp.sum(out.logits ** 2)
+
+    g = jax.grad(loss_fn)(variables)
+    total = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(g["params"])))
+    assert np.isfinite(total) and total > 0

@@ -112,3 +112,17 @@ def test_rng_folding_gives_different_noise_per_step():
     # Re-run from the same state: identical (deterministic).
     s1b, m1b = step_fn(state, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m1b["loss"]), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_forward_parity_spectral_mode_trains():
+    """TFA-parity mode: power iteration in the forward pass, u vectors in the
+    'spectral' collection, updated every train step."""
+    model, state, tx, step_fn, batch = _setup("forward")
+    assert state.spectral, "forward mode must create spectral variables"
+    u_before = [np.asarray(x) for x in jax.tree.leaves(state.spectral)]
+    state, metrics = step_fn(state, batch)
+    u_after = [np.asarray(x) for x in jax.tree.leaves(state.spectral)]
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(not np.allclose(a, b) for a, b in zip(u_before, u_after))
+    assert changed, "power-iteration vectors must update during training"
