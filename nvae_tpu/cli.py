@@ -85,6 +85,9 @@ def parse_args(argv=None):
     p.add_argument("--temperature_all_groups", action="store_true",
                    help="Apply sampling temperature to every latent group "
                         "(the reference only scales z0)")
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="Run each epoch as one XLA program over a device-"
+                        "resident dataset (fastest path; dataset must fit HBM)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize residual cells (activation-memory "
                         "saver for deep/high-res configs)")
@@ -147,6 +150,7 @@ def build_configs(args, bundle):
         sample_dir=args.sample_dir,
         tensorboard_log_dir=args.tensorboard_log_dir,
         data_dir=args.data_dir,
+        scan_epochs=args.scan_epochs,
         data_parallel=args.data_parallel,
     )
     return model_cfg, train_cfg

@@ -86,6 +86,11 @@ class ModelConfig:
     spectral_mode: str = "projection"
     # Compute dtype for convolutions ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Replace the postprocess 5x5 FULL conv on the 6x-expanded hidden width
+    # with a depthwise conv (the form the reference intended but left
+    # commented out, postprocess.py:76). The full conv is ~2/3 of all step
+    # FLOPs at the default config. False = reference parity.
+    postprocess_5x5_depthwise: bool = False
     # Rematerialize residual cells in the backward pass (jax.checkpoint):
     # trades ~25% step FLOPs for a large activation-memory cut — for deeper /
     # higher-resolution configs (CelebA-64) that would not otherwise fit HBM.
@@ -218,6 +223,10 @@ class TrainConfig:
     sample_dir: str = "results"
     tensorboard_log_dir: str = "logs"
     data_dir: str = ""  # where to look for local dataset files
+    # Run each epoch as ONE XLA program (lax.scan over a device-resident
+    # dataset; zero host round-trips between steps). Requires the training
+    # set to fit in HBM as uint8 — true at reference scale.
+    scan_epochs: bool = False
     # Parallelism: number of devices on the data axis (0 = all available).
     data_parallel: int = 0
     # Mesh axis sizes for (data, model); model axis reserved for future TP.

@@ -256,13 +256,22 @@ class ConvBNSwish(nn.Module):
 
 class PostprocessNode(nn.Module):
     """[optional up-rescale] -> BN -> 1x1 expand -> 5x5 -> 1x1 project -> BN -> SE
-    (reference ``postprocess.py:61-88``)."""
+    (reference ``postprocess.py:61-88``).
+
+    ``depthwise_5x5``: the reference ships a FULL 5x5 conv on the 6x-expanded
+    hidden width — the single largest FLOPs sink in the whole model (~2/3 of
+    step compute at the default config) — while its own commented-out
+    ``groups=int(hidden_dim)`` (``postprocess.py:76``) shows a depthwise
+    (MBConv-style) conv was intended.  False = bit-parity; True = the intended
+    depthwise form (~2.5x faster steps).
+    """
 
     features: int
     upscale: bool = False
     factor: int = 2
     expansion_ratio: int = 6
     se_ratio: int = 16
+    depthwise_5x5: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -276,7 +285,13 @@ class PostprocessNode(nn.Module):
         x = BatchNorm()(x, train)
         hidden = self.features * self.expansion_ratio
         x = ConvBNSwish(hidden, (1, 1), mode=self.mode, dtype=self.dtype)(x, train)
-        x = ConvBNSwish(hidden, (5, 5), mode=self.mode, dtype=self.dtype)(x, train)
+        if self.depthwise_5x5:
+            x = DepthwiseConv((5, 5), use_bias=False, dtype=self.dtype)(x)
+            x = swish(BatchNorm()(x, train))
+        else:
+            x = ConvBNSwish(hidden, (5, 5), mode=self.mode, dtype=self.dtype)(
+                x, train
+            )
         x = SNConv(
             self.features, (1, 1), use_bias=False, mode=self.mode, dtype=self.dtype
         )(x, train)
@@ -294,6 +309,7 @@ class PostprocessCell(nn.Module):
     upscale: bool = False
     factor: int = 2
     se_ratio: int = 16
+    depthwise_5x5: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -311,7 +327,8 @@ class PostprocessCell(nn.Module):
         for _ in range(self.n_nodes):
             y = PostprocessNode(
                 self.features, upscale=up, factor=self.factor,
-                se_ratio=self.se_ratio, mode=self.mode, dtype=self.dtype,
+                se_ratio=self.se_ratio, depthwise_5x5=self.depthwise_5x5,
+                mode=self.mode, dtype=self.dtype,
             )(y, train)
             up = False
         return skip + 0.1 * y

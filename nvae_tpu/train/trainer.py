@@ -66,6 +66,8 @@ class Trainer:
         self.step_fn = make_train_step(
             self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch
         )
+        self._epoch_runner = None  # built lazily for the scan-epochs path
+        self._staged_data = None
         self._sampler_cache = {}
 
     # ---- sampling helpers -------------------------------------------------
@@ -140,21 +142,48 @@ class Trainer:
         best_loss, best_state, patience_left = float("inf"), None, tc.patience
         start_epoch = self.maybe_resume()
 
+        use_scan = tc.scan_epochs
+        if use_scan:
+            from nvae_tpu.train.epoch_runner import (
+                make_epoch_runner,
+                stage_dataset,
+            )
+
+            if self._epoch_runner is None:
+                self._epoch_runner = make_epoch_runner(
+                    self.model, self.tx, tc, self.total_steps,
+                    train_iter.batches_per_epoch,
+                    target_size=train_iter.target_size, donate=False,
+                )
+                self._staged_data = stage_dataset(
+                    train_iter.images,
+                    train_iter.sharding,
+                )
+
         for epoch in range(start_epoch, tc.epochs):
             t0 = time.time()
             if profile_dir and epoch == start_epoch + 1:
                 jax.profiler.start_trace(profile_dir)
-            agg, n_batches = {}, 0
-            for batch in train_iter.epoch(epoch):
-                self.state, metrics = self.step_fn(self.state, batch)
-                n_batches += 1
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + v
-            jax.block_until_ready(self.state.params)
+            if use_scan:
+                n_batches = train_iter.batches_per_epoch
+                self.state, metrics = self._epoch_runner(
+                    self.state, self._staged_data, jnp.asarray(epoch)
+                )
+                agg = metrics  # already per-epoch means
+            else:
+                agg, n_batches = {}, 0
+                for batch in train_iter.epoch(epoch):
+                    self.state, metrics = self.step_fn(self.state, batch)
+                    n_batches += 1
+                    for k, v in metrics.items():
+                        agg[k] = agg.get(k, 0.0) + v
+            # Fetching the metric values is the only reliable device barrier
+            # (block_until_ready can return early through tunnel runtimes).
+            denom = 1 if use_scan else n_batches
+            means = {k: float(np.asarray(v)) / denom for k, v in agg.items()}
             if profile_dir and epoch == start_epoch + 1:
                 jax.profiler.stop_trace()
             dt = time.time() - t0
-            means = {k: float(np.asarray(v)) / n_batches for k, v in agg.items()}
             means["epoch_seconds"] = dt
             means["images_per_sec"] = n_batches * train_iter.batch_size / dt
             history.append(means)

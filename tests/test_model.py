@@ -241,3 +241,25 @@ def test_remat_model_forward_and_grads():
     g = jax.grad(loss_fn)(variables)
     total = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(g["params"])))
     assert np.isfinite(total) and total > 0
+
+
+def test_postprocess_depthwise_option():
+    cfg = debug_config(n_groups_per_scale=(1, 1), n_latent_per_group=2,
+                       postprocess_5x5_depthwise=True)
+    model = NVAE(cfg)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, True,
+    )
+    out = model.apply(variables, x, False, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.logits.shape == (2, 32, 32, 1)
+    # Depthwise kernels present; fewer params than the full-conv variant.
+    full = NVAE(debug_config(n_groups_per_scale=(1, 1), n_latent_per_group=2))
+    vf = full.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, True,
+    )
+    n_dw = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    n_full = sum(p.size for p in jax.tree.leaves(vf["params"]))
+    assert n_dw < n_full

@@ -74,3 +74,24 @@ def test_early_stopping_restores_best(tmp_path):
     # the total loss rise after the first epochs on a tiny fixed set).
     assert len(result.history) < 50
     assert np.isfinite(result.best_loss)
+
+
+@pytest.mark.slow
+def test_scan_epochs_path_matches_capability(tmp_path):
+    """The scan-epoch fast path trains, logs, checkpoints like the batch path."""
+    model_cfg = _tiny_cfg()
+    train_cfg = TrainConfig(
+        epochs=2, batch_size=8, sample_frequency=1000,
+        model_save_frequency=1000, step_based_warmup=True, scan_epochs=True,
+        model_save_dir=str(tmp_path / "m"),
+        tensorboard_log_dir=str(tmp_path / "l"),
+    )
+    bundle = synthetic_dataset(n_train=32, n_test=8, seed=2)
+    train_iter, _ = make_iterators(bundle, 8, seed=2)
+    trainer = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
+    result = trainer.fit(train_iter)
+    assert len(result.history) == 2
+    assert int(trainer.state.step) == 2 * len(train_iter)
+    for h in result.history:
+        assert np.isfinite(h["loss"])
+        assert np.isfinite(h["reconstruction_loss"])
