@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="Fewer steps for a fast smoke run")
     ap.add_argument("--mode", type=str, default="scan_epoch",
-                    choices=["step", "epoch", "scan_epoch"],
+                    choices=["step", "epoch", "scan_epoch", "sample"],
                     help="scan_epoch (default): device-resident dataset, one "
                          "XLA program per epoch — sustained training "
                          "throughput, no host round-trips; epoch: per-batch "
@@ -79,6 +79,45 @@ def main():
         model, tx, train_cfg, total_steps,
         steps_per_epoch=60000 // args.batch_size, donate=False,
     )
+
+    if args.mode == "sample":
+        # Unconditional-generation throughput (feeds FID's 10k-sample dumps,
+        # reference evaluate.py:156 — the reference generates eagerly).
+        from nvae_tpu.models import NVAE
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def sample_fn(v, key):
+            images, *_ = model.apply(
+                v, args.batch_size, 1.0, True, rngs={"sample": key},
+                method=NVAE.sample,
+            )
+            return images
+
+        sample_jit = jax.jit(sample_fn)
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        float(sample_jit(variables, key)[0, 0, 0, 0])
+        log(f"sample compile: {time.time() - t0:.1f}s")
+        reps = 5 if args.quick else 20
+        t0 = time.time()
+        for i in range(reps):
+            out = sample_jit(variables, jax.random.fold_in(key, i))
+        float(out[0, 0, 0, 0])  # true device sync
+        dt = time.time() - t0
+        images_per_sec = reps * args.batch_size / dt
+        log(f"{reps} sample batches in {dt:.2f}s -> {images_per_sec:.1f} img/s")
+        print(
+            json.dumps(
+                {
+                    "metric": "sample_throughput_mnist_nvae_b144",
+                    "value": round(images_per_sec, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+                }
+            )
+        )
+        return
 
     if args.mode == "scan_epoch":
         from nvae_tpu.data import synthetic_dataset

@@ -85,6 +85,13 @@ def parse_args(argv=None):
     p.add_argument("--temperature_all_groups", action="store_true",
                    help="Apply sampling temperature to every latent group "
                         "(the reference only scales z0)")
+    p.add_argument("--preset", type=str, default="",
+                   help="Named experiment preset (see nvae_tpu/presets.py): "
+                        "mnist_step_sn | mnist_step_sn_parity | mnist_step_sr "
+                        "| mnist_epoch_sn | omniglot_deep | fashion_mnist_deep"
+                        " | cifar10_dml | celeba64. The preset fixes the "
+                        "architecture/dataset/warmup; runtime flags (epochs, "
+                        "dirs, seed, debug, ...) still apply.")
     p.add_argument("--scan_epochs", action="store_true",
                    help="Run each epoch as one XLA program over a device-"
                         "resident dataset (fastest path; dataset must fit HBM)")
@@ -172,8 +179,37 @@ def main(argv=None):
     from nvae_tpu.train.trainer import Trainer
     from nvae_tpu.utils.logging import MetricsLogger
 
-    bundle = load_dataset(args.dataset, args.data_dir)
-    model_cfg, train_cfg = build_configs(args, bundle)
+    if args.preset:
+        import dataclasses as _dc
+
+        from nvae_tpu.presets import get_preset
+
+        model_cfg, preset_train = get_preset(args.preset)
+        bundle = load_dataset(preset_train.dataset, args.data_dir)
+        train_cfg = _dc.replace(
+            preset_train,
+            epochs=args.epochs,
+            seed=args.seed,
+            debug=args.debug,
+            sample_frequency=args.sample_frequency,
+            evaluate_frequency=args.evaluate_frequency,
+            log_frequency=args.log_frequency,
+            model_save_frequency=args.model_save_frequency,
+            patience=args.patience or 0,
+            resume_from=args.resume_from,
+            n_samples=args.n_samples,
+            model_save_dir=args.model_save_dir,
+            sample_dir=args.sample_dir,
+            tensorboard_log_dir=args.tensorboard_log_dir,
+            data_dir=args.data_dir,
+            scan_epochs=args.scan_epochs,
+            data_parallel=args.data_parallel,
+        )
+        args.dataset = train_cfg.dataset
+        args.batch_size = train_cfg.batch_size
+    else:
+        bundle = load_dataset(args.dataset, args.data_dir)
+        model_cfg, train_cfg = build_configs(args, bundle)
 
     mesh = None
     sharding = None

@@ -102,3 +102,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(jax.tree.leaves(restored.opt_state)) == len(
         jax.tree.leaves(state.opt_state)
     )
+
+
+def test_presets_all_valid():
+    from nvae_tpu.presets import PRESETS, get_preset
+
+    for name in PRESETS:
+        model_cfg, train_cfg = get_preset(name)
+        shapes = model_cfg.shapes()  # validates the shape algebra
+        assert shapes.base_size >= 1
+        assert train_cfg.dataset
+    # Variant semantics spot-checks.
+    m, t = get_preset("mnist_step_sr")
+    assert m.spectral_mode == "penalty" and t.step_based_warmup
+    m, t = get_preset("mnist_epoch_sn")
+    assert not t.step_based_warmup
+    m, t = get_preset("cifar10_dml")
+    assert m.likelihood == "dml" and m.in_channels == 3 and not t.binary
+    m, t = get_preset("celeba64")
+    assert m.image_size == 64 and m.remat
