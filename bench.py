@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="Fewer steps for a fast smoke run")
     ap.add_argument("--mode", type=str, default="scan_epoch",
-                    choices=["step", "epoch", "scan_epoch", "sample"],
+                    choices=["step", "epoch", "scan_epoch", "sample", "pr"],
                     help="scan_epoch (default): device-resident dataset, one "
                          "XLA program per epoch — sustained training "
                          "throughput, no host round-trips; epoch: per-batch "
@@ -58,6 +58,42 @@ def main():
     from nvae_tpu.train.step import make_train_step
 
     log(f"devices: {jax.devices()}")
+
+    if args.mode == "pr":
+        # k-NN precision/recall at reference scale: 10k vs 10k 512-d feature
+        # sets (VGG16-pooled dimensionality). The reference's full P&R pass
+        # took >10 hours (PDF 4.1.2, BASELINE.md).
+        import numpy as np
+
+        from nvae_tpu.eval.precision_recall import (
+            knn_precision_recall_features,
+        )
+
+        n = 2000 if args.quick else 10000
+        rng_np = np.random.RandomState(0)
+        real = rng_np.randn(n, 512).astype(np.float32)
+        gen = (rng_np.randn(n, 512) * 0.9 + 0.1).astype(np.float32)
+        t0 = time.time()
+        pr = knn_precision_recall_features(real, gen)  # includes compiles
+        log(f"P&R compile+run: {time.time() - t0:.1f}s -> {pr}")
+        t0 = time.time()
+        pr = knn_precision_recall_features(real, gen)
+        dt = time.time() - t0
+        log(f"P&R {n}x{n}: {dt:.2f}s  precision={pr['precision']:.3f} "
+            f"recall={pr['recall']:.3f}")
+        # Baseline: >10 h = 36,000 s for the full pass (PDF 4.1.2).
+        print(
+            json.dumps(
+                {
+                    "metric": f"knn_precision_recall_{n}x{n}_seconds",
+                    "value": round(dt, 2),
+                    "unit": "seconds",
+                    "vs_baseline": round(36000.0 / max(dt, 1e-9), 1),
+                }
+            )
+        )
+        return
+
     model_cfg = ModelConfig(
         compute_dtype=args.compute_dtype,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
