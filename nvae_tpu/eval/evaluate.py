@@ -99,11 +99,14 @@ def evaluate_model(
             v, n, t, not binary, rngs={"sample": key}, method=NVAE.sample
         )
 
-    # n and temperature are static: a handful of (n, t) pairs -> few compiles.
-    sample_jit = jax.jit(_sample_impl, static_argnums=(2, 3))
+    # n is static (few batch sizes); temperature is traced, so the whole
+    # temperature sweep shares one compiled program per batch size.
+    sample_jit = jax.jit(_sample_impl, static_argnums=(3,))
 
     def sample(n, t, key):
-        return sample_jit(variables, key, float(t), int(n))
+        return sample_jit(
+            variables, key, jnp.asarray(t, jnp.float32), int(n)
+        )
 
     sample_with_z_jit = jax.jit(
         lambda v, z, s, key: model.apply(

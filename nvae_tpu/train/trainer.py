@@ -68,6 +68,7 @@ class Trainer:
         )
         self._epoch_runner = None  # built lazily for the scan-epochs path
         self._staged_data = None
+        self._eval_fn = None
         self._sampler_cache = {}
 
     # ---- sampling helpers -------------------------------------------------
@@ -75,16 +76,19 @@ class Trainer:
     def sample_images(
         self, n: int, temperature: float, rng: Optional[jax.Array] = None
     ):
-        """Jit-cached unconditional sampling on the current params."""
-        key = (n, float(temperature))
-        if key not in self._sampler_cache:
-            def fn(variables, rng_):
+        """Jit-cached unconditional sampling on the current params.
+
+        Temperature is traced — one compile per batch size serves every
+        temperature in the sweep.
+        """
+        if n not in self._sampler_cache:
+            def fn(variables, rng_, t):
                 return self.model.apply(
-                    variables, n, temperature, rngs={"sample": rng_},
+                    variables, n, t, rngs={"sample": rng_},
                     method=NVAE.sample,
                 )
 
-            self._sampler_cache[key] = jax.jit(fn)
+            self._sampler_cache[n] = jax.jit(fn)
         if rng is None:
             rng = jax.random.fold_in(self.state.rng, 7 + int(self.state.step))
         variables = {
@@ -92,7 +96,9 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
             **({"spectral": self.state.spectral} if self.state.spectral else {}),
         }
-        return self._sampler_cache[key](variables, rng)
+        return self._sampler_cache[n](
+            variables, rng, jnp.asarray(temperature, jnp.float32)
+        )
 
     def reconstruct_images(self, batch):
         variables = {
@@ -189,6 +195,30 @@ class Trainer:
             history.append(means)
             if self.logger and epoch % tc.log_frequency == 0:
                 self.logger.scalars(epoch, means, prefix="train/")
+
+            # Periodic held-out evaluation (the reference exposes
+            # --evaluate_frequency but never wires it, SURVEY §5; here it
+            # logs test ELBO pieces every N epochs).
+            if (
+                self.logger
+                and test_iter is not None
+                and tc.evaluate_frequency
+                and epoch % tc.evaluate_frequency == 0
+            ):
+                if self._eval_fn is None:
+                    from nvae_tpu.train.step import make_eval_step
+
+                    self._eval_fn = make_eval_step(self.model, tc)
+                test_batch = next(iter(test_iter.epoch(0)))
+                em = self._eval_fn(
+                    self.state, test_batch,
+                    jax.random.fold_in(self.state.rng, 13 + epoch),
+                )
+                self.logger.scalars(
+                    epoch,
+                    {k: float(np.asarray(v)) for k, v in em.items()},
+                    prefix="test/",
+                )
 
             # Periodic image hooks (reference train.py:23-26).
             if self.logger and epoch % tc.sample_frequency == 0:

@@ -93,7 +93,7 @@ def test_penalty_mode_runs_and_tracks():
 @pytest.mark.slow
 def test_eval_step_and_beta_warmup():
     model, state, tx, step_fn, batch = _setup()
-    state, m0 = _last = step_fn(state, batch)
+    state, m0 = step_fn(state, batch)
     # Warm-up: beta at step 0 is 0 and grows.
     assert float(m0["beta"]) == 0.0
     state, m1 = step_fn(state, batch)

@@ -45,9 +45,6 @@ def test_fit_resume_and_artifacts(tmp_path):
     trainer2 = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
     start_epoch = trainer2.maybe_resume()
     assert start_epoch == 2
-    a = np.asarray(
-        next(iter(jax.tree.leaves(trainer.state.params)))
-    ) if False else None  # noqa — clarity below
     import jax
 
     for x, y in zip(
