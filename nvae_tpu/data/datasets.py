@@ -23,7 +23,7 @@ import dataclasses
 import gzip
 import os
 import struct
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

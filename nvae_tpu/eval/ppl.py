@@ -15,7 +15,6 @@ textbook metric.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nvae_tpu.ops import slerp

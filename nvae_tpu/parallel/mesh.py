@@ -11,8 +11,6 @@ no hand-written communication anywhere, by design.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,7 +17,6 @@ large to stage.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

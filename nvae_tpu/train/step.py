@@ -10,7 +10,6 @@ Donated state, explicit RNG folding per step, metrics returned as a dict.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

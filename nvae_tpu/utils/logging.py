@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Mapping, Optional
+from typing import Mapping
 
 import numpy as np
 
