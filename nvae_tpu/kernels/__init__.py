@@ -7,3 +7,7 @@ portable default.
 """
 
 from nvae_tpu.kernels.se_gate import se_gate, se_gate_reference  # noqa: F401
+from nvae_tpu.kernels.depthwise import (  # noqa: F401
+    depthwise_conv5x5,
+    depthwise_conv5x5_reference,
+)

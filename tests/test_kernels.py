@@ -18,3 +18,14 @@ def test_se_gate_matches_reference():
     got = se_gate(x, w1, b1, w2, b2, interpret=True)
     want = se_gate_reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_depthwise5x5_matches_lax():
+    from nvae_tpu.kernels import depthwise_conv5x5, depthwise_conv5x5_reference
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (3, 8, 8, 256))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (5, 5, 1, 256)) * 0.2
+    got = depthwise_conv5x5(x, k, interpret=True)
+    want = depthwise_conv5x5_reference(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
