@@ -46,9 +46,44 @@ def main():
     ap.add_argument("--postprocess_depthwise", action="store_true",
                     help="Use the depthwise postprocess 5x5 (the form the "
                          "reference intended; ~2.5x fewer step FLOPs)")
+    ap.add_argument("--time_budget", type=int, default=1200,
+                    help="Hard wall-clock budget (s); on expiry the JSON line "
+                         "is emitted with value 0 so callers never hang")
     args = ap.parse_args()
     if args.quick:
         args.steps, args.warmup = 8, 2
+
+    # Global guard: remote-tunnel runtimes can stall a dispatch forever. On
+    # budget expiry, emit a zero-valued JSON line instead of hanging.
+    import signal
+
+    metric_name = {
+        "step": "train_throughput_mnist_nvae_b144",
+        "epoch": "train_epoch_throughput_mnist_nvae_b144",
+        "scan_epoch": "train_scan_epoch_throughput_mnist_nvae_b144",
+        "sample": "sample_throughput_mnist_nvae_b144",
+        "pr": "knn_precision_recall_seconds",
+    }[args.mode]
+
+    def _global_alarm(signum, frame):
+        log(f"FATAL: global time budget ({args.time_budget}s) expired")
+        print(
+            json.dumps(
+                {
+                    "metric": metric_name,
+                    "value": 0.0,
+                    "unit": "images/sec" if args.mode != "pr" else "seconds",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        import os
+
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _global_alarm)
+    signal.alarm(args.time_budget)
 
     import jax
     import jax.numpy as jnp
