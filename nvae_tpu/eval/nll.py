@@ -22,13 +22,29 @@ from nvae_tpu.models import NVAE
 from nvae_tpu.train.losses import recon_loss
 
 
-def make_nll_fn(model: NVAE, n_attempts: int = 10, crop: int = 2):
-    """Jitted: (variables, batch, rng) -> per-batch IWAE NLL scalar."""
+def make_nll_fn(
+    model: NVAE, n_attempts: int = 10, crop: int = 2,
+    bn_batch_stats: bool = True,
+):
+    """Jitted: (variables, batch, rng) -> per-batch IWAE NLL scalar.
+
+    ``bn_batch_stats``: normalize with the batch's own statistics (mutations
+    discarded) — see :func:`nvae_tpu.train.step.make_eval_step` for why
+    running-average BN corrupts the log p term on deep hierarchies.
+    """
     cfg: ModelConfig = model.cfg
 
     def one_attempt(carry, rng):
         variables, batch = carry
-        out = model.apply(variables, batch, False, True, rngs={"sample": rng})
+        if bn_batch_stats:
+            out, _ = model.apply(
+                variables, batch, True, True, rngs={"sample": rng},
+                mutable=["batch_stats", "spectral"],
+            )
+        else:
+            out = model.apply(
+                variables, batch, False, True, rngs={"sample": rng}
+            )
         rl = recon_loss(out.logits, batch, cfg.likelihood, cfg.n_mix, crop=crop)
         log_iw = -rl - out.log_q + out.log_p  # (B,)
         return carry, log_iw

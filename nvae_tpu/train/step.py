@@ -100,15 +100,35 @@ def make_train_step(
     return jax.jit(step_fn)
 
 
-def make_eval_step(model: NVAE, train_cfg: TrainConfig):
-    """Jitted eval step: ELBO pieces on a batch without gradient/updates."""
+def make_eval_step(
+    model: NVAE, train_cfg: TrainConfig, bn_batch_stats: bool = True
+):
+    """Jitted eval step: ELBO pieces on a batch without gradient/updates.
+
+    ``bn_batch_stats=True`` (default) normalizes with the evaluation batch's
+    own statistics (mutations discarded).  Hierarchical-VAE KL is
+    pathologically sensitive to a BN-mode switch: deep-group priors sit near
+    the sigma floor (1e-2), so the small feature shift from running-average
+    BN inflates held-out KL by orders of magnitude while reconstruction stays
+    fine (measured: train KL 83 vs running-stat eval KL 1.6e6 on the same
+    checkpoint).  The reference never faces the switch — its Keras BN layers
+    effectively run in one consistent mode on both paths (SURVEY §7
+    "BatchNorm in a functional framework"; NVAE's own eval protocol
+    re-estimates BN statistics before measuring).
+    """
     model_cfg: ModelConfig = model.cfg
 
     @jax.jit
     def eval_fn(state: TrainState, batch: jax.Array, rng: jax.Array) -> dict:
-        out = model.apply(
-            state.variables(), batch, False, rngs={"sample": rng}
-        )
+        if bn_batch_stats:
+            out, _ = model.apply(
+                state.variables(), batch, True, rngs={"sample": rng},
+                mutable=["batch_stats", "spectral"],
+            )
+        else:
+            out = model.apply(
+                state.variables(), batch, False, rngs={"sample": rng}
+            )
         rl = losses.recon_loss(
             out.logits, batch, model_cfg.likelihood, model_cfg.n_mix
         )
