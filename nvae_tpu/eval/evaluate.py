@@ -73,6 +73,7 @@ def evaluate_model(
     fid_sample_size: int = FID_SAMPLE_SIZE,
     feature_backbone: str = "vgg16",
     seed: int = 0,
+    pr_parity_accounting: bool = False,
 ) -> ModelEvaluation:
     """Full evaluation pass.  ``trainer`` provides the model + params
     (anything with ``.model``, ``.state`` and ``.sample_images``)."""
@@ -138,8 +139,15 @@ def evaluate_model(
                     p_sum += pr["precision"]
                     r_sum += pr["recall"]
                     n_micro += 1
-            precisions.append(p_sum / max(n_micro // 2, 1))
-            recalls.append(r_sum / max(n_micro // 2, 1))
+            # Reference accounting quirk (evaluate.py:70-77, 87-88): two
+            # microbatch precisions are SUMMED per batch and divided by the
+            # batch count, so the published numbers live in [0, 2].
+            # Default here is the corrected per-microbatch mean in [0, 1];
+            # pr_parity_accounting=True reproduces the reference scale
+            # (corrected value x2) for comparison against BASELINE.md.
+            denom = max(n_micro // 2, 1) if pr_parity_accounting else n_micro
+            precisions.append(p_sum / denom)
+            recalls.append(r_sum / denom)
 
             # PPL through the final decoder group (evaluate.py:80-86).
             za, zb = ppl_mod.slerp_pair(z1, z2, k3)
