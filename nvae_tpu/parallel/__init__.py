@@ -4,4 +4,6 @@ from nvae_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_state,
+    shard_state_tp,
+    tp_param_sharding,
 )

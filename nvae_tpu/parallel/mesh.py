@@ -42,5 +42,52 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
 
 
+def tp_param_sharding(params, mesh: Mesh, min_features: int = 512):
+    """Tensor-parallel layout: shard wide conv kernels' output-feature dim
+    over the ``model`` axis; everything else replicated.
+
+    Targets the 6x-expansion 1x1 convolutions of the generative/postprocess
+    cells (the widest matmuls in the network).  XLA/GSPMD inserts the
+    all-gathers/reduce-scatters; no hand-written collectives.  Returns a
+    pytree of NamedShardings congruent with ``params``.
+    """
+    n_model = mesh.shape["model"]
+
+    def leaf_sharding(path, leaf):
+        if (
+            n_model > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 4
+            and leaf.shape[-1] >= min_features
+            and leaf.shape[-1] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def shard_state_tp(state, mesh: Mesh, min_features: int = 512):
+    """DP + TP layout: wide kernels sharded over 'model', rest replicated.
+
+    Optimizer state (Adamax moments, spectral u) follows the replicated
+    layout — the moments for sharded kernels are re-sharded lazily by GSPMD
+    on first use.
+    """
+    params_sharding = tp_param_sharding(state.params, mesh, min_features)
+    state = state.replace(
+        params=jax.device_put(state.params, params_sharding)
+    )
+    rest = replicated(mesh)
+    return state.replace(
+        step=jax.device_put(state.step, rest),
+        epoch=jax.device_put(state.epoch, rest),
+        batch_stats=jax.device_put(state.batch_stats, rest),
+        spectral=jax.device_put(state.spectral, rest),
+        opt_state=jax.device_put(state.opt_state, rest),
+        rng=jax.device_put(state.rng, rest),
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, data_sharding(mesh))

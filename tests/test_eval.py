@@ -149,3 +149,24 @@ def test_inception_v3_runs_and_outputs_2048():
     feats = extract_features(x, f)
     assert feats.shape == (1, 2048)
     assert np.all(np.isfinite(feats))
+
+
+@pytest.mark.slow
+def test_iwae_bound_tightens_with_more_samples():
+    """IWAE-K is monotonically non-increasing in K (tighter NLL bound)."""
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.eval.nll import neg_log_likelihood
+    from nvae_tpu.train.state import create_train_state
+
+    model_cfg = debug_config(n_groups_per_scale=(1, 1), n_latent_per_group=2,
+                             n_encoder_channels=8, n_decoder_channels=8)
+    model, state, tx = create_train_state(model_cfg, TrainConfig(), 10)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = (
+        jax.random.uniform(jax.random.PRNGKey(3), (8, 32, 32, 1)) > 0.5
+    ).astype(jnp.float32)
+    rng = jax.random.PRNGKey(4)
+    nll_1, _ = neg_log_likelihood(model, variables, [batch], rng, n_attempts=1)
+    nll_16, _ = neg_log_likelihood(model, variables, [batch], rng, n_attempts=16)
+    # Allow small MC noise; the 16-sample bound must not be looser.
+    assert nll_16 <= nll_1 + 2.0, (nll_1, nll_16)
