@@ -31,6 +31,17 @@ EVAL_TEMPERATURES = (0.6, 0.8, 1.0)  # reference evaluate.py:58
 FID_SAMPLE_SIZE = 10000  # reference evaluate.py:156 ("recommended by author")
 
 
+def quantize_uint8(images) -> np.ndarray:
+    """The reference's PNG disk round-trip, as a pure function: float [0,1]
+    -> uint8 via truncation (``tf.cast(image * 255, tf.uint8)``, reference
+    ``util.py:31-36``) -> back to float.  PNG encoding itself is lossless,
+    so the round-trip's only numeric effect is this quantization."""
+    x = np.asarray(images, dtype=np.float32)
+    return np.clip(x * 255.0, 0.0, 255.0).astype(np.uint8).astype(
+        np.float32
+    ) / 255.0
+
+
 @dataclasses.dataclass
 class Metric:
     mean: float
@@ -74,9 +85,28 @@ def evaluate_model(
     feature_backbone: str = "vgg16",
     seed: int = 0,
     pr_parity_accounting: bool = False,
+    pr_parity_orientation: bool = False,
+    parity_resize_299: bool = False,
+    parity_fid_uint8: bool = False,
 ) -> ModelEvaluation:
     """Full evaluation pass.  ``trainer`` provides the model + params
-    (anything with ``.model``, ``.state`` and ``.sample_images``)."""
+    (anything with ``.model``, ``.state`` and ``.sample_images``).
+
+    Parity switches (all default to the *corrected* protocol; see PARITY.md):
+
+    - ``pr_parity_orientation`` — the reference calls
+      ``precision_recall(pr_images, microbatch)`` (reference
+      ``evaluate.py:72-74``), i.e. ref_features=GENERATED and
+      eval_features=REAL in the NVIDIA API, so its published "precision" is
+      the textbook recall and vice versa.  True reproduces that labeling.
+    - ``parity_resize_299`` — the reference resizes *all* images to
+      299x299x3 with nearest-neighbor (skimage ``order=0``) before either
+      backbone (reference ``evaluate.py:228-234``); default here is the
+      backbone-native size with bilinear.
+    - ``parity_fid_uint8`` — the reference's FID round-trips images through
+      uint8 PNGs on disk (reference ``evaluate.py:148-157``); True applies
+      the equivalent truncating uint8 quantization to both feature inputs.
+    """
     model: NVAE = trainer.model
     variables = {
         "params": trainer.state.params,
@@ -87,13 +117,30 @@ def evaluate_model(
             else {}
         ),
     }
-    extractor = get_extractor(feature_backbone)
+    extractor = get_extractor(
+        feature_backbone,
+        input_size=299 if parity_resize_299 else 0,
+        resize_method="nearest" if parity_resize_299 else "bilinear",
+    )
     rng = jax.random.PRNGKey(seed)
+
+    def maybe_quantize(x):
+        return quantize_uint8(x) if parity_fid_uint8 else np.asarray(x)
 
     # Real test images, loaded once (greyscale probs in [0,1]).
     test_batches = list(test_iter.epoch(0))
     real_images = np.concatenate([np.asarray(b) for b in test_batches])
-    real_feats = extract_features(real_images, extractor)
+    real_feats = extract_features(maybe_quantize(real_images), extractor)
+
+    # Per-half real features for the P&R loop, computed ONCE — they do not
+    # change across attempts/temperatures (the reference recomputes VGG
+    # features of the same real microbatch 30x per half, evaluate.py:70-74).
+    real_halves = []
+    for real_batch in test_batches:
+        for half in np.split(np.asarray(real_batch), 2):
+            real_halves.append(
+                (len(half), extract_features(half, extractor))
+            )
 
     def _sample_impl(v, key, t, n):
         return model.apply(
@@ -126,19 +173,23 @@ def evaluate_model(
             images, last_s, z1, z2 = sample(batch_size, temperature, k1)
 
             # Precision/recall: generated vs real features, microbatched in
-            # halves like the reference (evaluate.py:70-74).
+            # halves like the reference (evaluate.py:70-74).  Real-half
+            # features come from the cache above.
             p_sum, r_sum, n_micro = 0.0, 0.0, 0
-            for b_i, real_batch in enumerate(test_batches):
-                halves = np.split(np.asarray(real_batch), 2)
-                for h_i, half in enumerate(halves):
-                    kk = jax.random.fold_in(k2, b_i * 10 + h_i)
-                    gen, *_ = sample(len(half), temperature, kk)
-                    gen_f = extract_features(np.asarray(gen), extractor)
-                    real_f = extract_features(half, extractor)
+            for h_i, (n_half, real_f) in enumerate(real_halves):
+                kk = jax.random.fold_in(k2, h_i)
+                gen, *_ = sample(n_half, temperature, kk)
+                gen_f = extract_features(np.asarray(gen), extractor)
+                if pr_parity_orientation:
+                    # Reference argument order (evaluate.py:72-74):
+                    # ref=GENERATED, eval=REAL — so "precision" below is
+                    # the textbook recall and vice versa.
+                    pr = knn_precision_recall_features(gen_f, real_f)
+                else:
                     pr = knn_precision_recall_features(real_f, gen_f)
-                    p_sum += pr["precision"]
-                    r_sum += pr["recall"]
-                    n_micro += 1
+                p_sum += pr["precision"]
+                r_sum += pr["recall"]
+                n_micro += 1
             # Reference accounting quirk (evaluate.py:70-77, 87-88): two
             # microbatch precisions are SUMMED per batch and divided by the
             # batch count, so the published numbers live in [0, 2].
@@ -163,7 +214,9 @@ def evaluate_model(
         for b in range(n_batches):
             kk = jax.random.fold_in(rng, 555000 + t_i * 1000 + b)
             gen, *_ = sample(batch_size, temperature, kk)
-            gen_feats.append(extract_features(np.asarray(gen), extractor))
+            gen_feats.append(
+                extract_features(maybe_quantize(gen), extractor)
+            )
         fid = fid_from_features(real_feats, np.concatenate(gen_feats))
 
         evaluation.sample_metrics.append(
@@ -199,8 +252,11 @@ def evaluate_fid_against_dir(
     extraction batched on device instead of a TF1 session."""
     from nvae_tpu.utils.images import load_images_from_dir, sample_to_dir
 
+    # Clear only previously generated images (the reference clears its own
+    # regenerated dir, evaluate.py:152-154); never touch non-image files.
     for f in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
-        os.remove(os.path.join(out_dir, f))
+        if f.lower().endswith((".png", ".jpg", ".jpeg")):
+            os.remove(os.path.join(out_dir, f))
     sample_to_dir(
         lambda n, t, b: np.asarray(trainer.sample_images(n, t)[0]),
         batch_size, sample_size, temperature, out_dir,

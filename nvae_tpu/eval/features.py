@@ -63,13 +63,13 @@ class _VGG16Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # (B, 512)
 
 
-def _resize_to(x: jax.Array, size: int) -> jax.Array:
+def _resize_to(x: jax.Array, size: int, method: str = "bilinear") -> jax.Array:
     b, h, w, c = x.shape
     if c == 1:
         x = jnp.repeat(x, 3, axis=-1)
         c = 3
     if (h, w) != (size, size):
-        x = jax.image.resize(x, (b, size, size, c), method="bilinear")
+        x = jax.image.resize(x, (b, size, size, c), method=method)
     return x
 
 
@@ -101,11 +101,14 @@ def get_extractor(
     name: str = "random_conv",
     input_size: int = 0,
     weights_path: Optional[str] = None,
+    resize_method: str = "bilinear",
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns a jitted ``(B, H, W, C) in [0,1] -> (B, D)`` feature fn.
 
     ``input_size=0`` picks the backbone's native size (VGG 224, inception
-    299, random_conv 64).
+    299, random_conv 64).  ``resize_method="nearest"`` with
+    ``input_size=299`` reproduces the reference's skimage ``order=0``
+    resize-to-299 protocol (reference ``evaluate.py:228-234``).
     """
     if name == "random_conv":
         size = input_size or 64
@@ -159,7 +162,7 @@ def get_extractor(
 
     @jax.jit
     def extract(x):
-        x = _resize_to(x, size)
+        x = _resize_to(x, size, method=resize_method)
         # ImageNet-style scaling to [-1, 1].
         return net.apply(variables, x * 2.0 - 1.0)
 

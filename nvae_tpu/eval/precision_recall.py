@@ -6,8 +6,11 @@ union of hyperspheres with radius = distance to the k-th nearest neighbor,
 then measure cross-membership.  The reference's ``DistanceBlock`` splits the
 distance matrix across GPUs with explicit ``tf.device`` placement
 (``precision_recall.py:34-60``); here the row-batched distance computation is
-a jitted XLA program, and sharding across TPU devices is a one-line
-``NamedSharding`` on the feature matrices.
+a jitted XLA program, and passing ``mesh=`` shards the feature matrices'
+rows over the mesh's ``data`` axis with a ``NamedSharding`` — GSPMD then
+splits every distance matrix across devices and inserts the gather/reduce
+collectives (tested at 10k x 10k on an 8-device mesh,
+``tests/test_parallel.py``).
 """
 
 from __future__ import annotations
@@ -18,6 +21,11 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Row sentinel for padded samples: far from everything real, but finite so
+# fp32 distance algebra stays NaN-free ((1e15)^2 = 1e30 < fp32 max).
+_PAD_SENTINEL = 1e15
 
 
 def pairwise_sq_dists(u: jax.Array, v: jax.Array) -> jax.Array:
@@ -51,11 +59,26 @@ def _membership(eval_feats: jax.Array, ref_feats: jax.Array, radii: jax.Array):
     return jnp.any(d <= radii[None, :], axis=1)
 
 
+def _pad_rows_sharded(x: jax.Array, mesh: Mesh):
+    """Pad rows to a multiple of the data-axis size (NamedSharding needs
+    even splits) with a far-away sentinel, then shard rows over ``data``.
+    Returns (sharded array, original row count)."""
+    n_data = mesh.shape["data"]
+    n = x.shape[0]
+    pad = (-n) % n_data
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad, x.shape[1]), _PAD_SENTINEL, x.dtype)]
+        )
+    return jax.device_put(x, NamedSharding(mesh, P("data"))), n
+
+
 def knn_precision_recall_features(
     ref_features,
     eval_features,
     nhood_sizes: Sequence[int] = (3,),
     row_batch_size: int = 10000,
+    mesh: Mesh | None = None,
 ) -> Dict[str, float]:
     """Precision/recall between reference (real) and eval (generated)
     feature sets (reference ``knn_precision_recall_features``,
@@ -63,23 +86,56 @@ def knn_precision_recall_features(
 
     Precision = fraction of eval samples inside the reference manifold;
     recall = fraction of reference samples inside the eval manifold.
+
+    Returns ``precision``/``recall`` for the FIRST neighborhood size plus
+    ``precision_k{k}``/``recall_k{k}`` for every requested k (the reference
+    returns per-k arrays, ``precision_recall.py:168-170``).
+
+    ``mesh``: shard the feature matrices' rows over the mesh's ``data``
+    axis — the TPU-native form of the reference's multi-GPU
+    ``DistanceBlock`` (``precision_recall.py:34-60``).  Padded sentinel
+    rows (sharding needs even splits) sit ~1e30 away from the data, so
+    they never enter any real sample's k-NN; their own radii are sliced
+    off, and padded reference radii are set to -1 so no eval sample can
+    land inside them.
     """
     ref = jnp.asarray(ref_features, jnp.float32)
     ev = jnp.asarray(eval_features, jnp.float32)
+    n_ref, n_ev = ref.shape[0], ev.shape[0]
+    if mesh is not None:
+        ref, _ = _pad_rows_sharded(ref, mesh)
+        ev, _ = _pad_rows_sharded(ev, mesh)
+
     state: Dict[str, float] = {}
     for k in nhood_sizes:
         ref_radii = _knn_radii(ref, k)
         ev_radii = _knn_radii(ev, k)
-        # Row-batch the cross matrices to bound memory (the reference's
-        # row/col batching, precision_recall.py:97-106).
-        def batched_membership(a, b, radii):
-            hits = []
-            for i in range(0, a.shape[0], row_batch_size):
-                hits.append(_membership(a[i : i + row_batch_size], b, radii))
-            return jnp.concatenate(hits)
+        if mesh is not None:
+            # Kill the padded hyperspheres; keep radii row-sharded.
+            row_ids_ref = jnp.arange(ref.shape[0])
+            row_ids_ev = jnp.arange(ev.shape[0])
+            ref_radii = jnp.where(row_ids_ref < n_ref, ref_radii, -1.0)
+            ev_radii = jnp.where(row_ids_ev < n_ev, ev_radii, -1.0)
+            precision = _membership(ev, ref, ref_radii)[:n_ev]
+            recall = _membership(ref, ev, ev_radii)[:n_ref]
+        else:
+            # Row-batch the cross matrices to bound memory (the reference's
+            # row/col batching, precision_recall.py:97-106).
+            def batched_membership(a, b, radii):
+                hits = []
+                for i in range(0, a.shape[0], row_batch_size):
+                    hits.append(
+                        _membership(a[i : i + row_batch_size], b, radii)
+                    )
+                return jnp.concatenate(hits)
 
-        precision = batched_membership(ev, ref, ref_radii)
-        recall = batched_membership(ref, ev, ev_radii)
-        state["precision"] = float(jnp.mean(precision.astype(jnp.float32)))
-        state["recall"] = float(jnp.mean(recall.astype(jnp.float32)))
+            precision = batched_membership(ev, ref, ref_radii)
+            recall = batched_membership(ref, ev, ev_radii)
+        state[f"precision_k{k}"] = float(
+            jnp.mean(precision.astype(jnp.float32))
+        )
+        state[f"recall_k{k}"] = float(jnp.mean(recall.astype(jnp.float32)))
+    k0 = nhood_sizes[0]
+    state["precision"] = state[f"precision_k{k0}"]
+    state["recall"] = state[f"recall_k{k0}"]
     return state

@@ -31,12 +31,13 @@ def swish(x: jax.Array) -> jax.Array:
 class BatchNorm(nn.Module):
     """BatchNorm with the reference's hyperparameters (momentum .05, eps 1e-5).
 
-    ``axis_name`` makes batch statistics global across a mesh axis when the
-    train step runs under ``shard_map`` — the cross-replica handling the
-    eager reference never needed (SURVEY §7 "hard parts").
+    Under data parallelism the train step runs under ``jit`` + GSPMD with the
+    batch sharded over the mesh's ``data`` axis, so the batch-mean/variance
+    reductions are *logically global* already — XLA inserts the cross-device
+    ``psum`` itself (verified by the sharded-vs-unsharded trajectory test,
+    ``tests/test_parallel.py``).  An ``axis_name`` would only be needed under
+    ``shard_map``/``pmap``, which this framework does not use.
     """
-
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -44,7 +45,6 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=0.05,
             epsilon=1e-5,
-            axis_name=self.axis_name if train else None,
             dtype=jnp.float32,
         )(x)
 

@@ -103,6 +103,7 @@ def make_epoch_runner(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1,
             epoch=epoch,

@@ -64,6 +64,75 @@ def test_tp_param_sharding_selects_wide_kernels():
     assert "model" not in str(shardings["bias"]["bias"].spec)
 
 
+def test_sharded_vs_unsharded_multistep_trajectory():
+    """4 sharded DPxTP steps against 4 single-device steps with identical
+    inputs/RNG: losses match per step, step-0 BN statistics match tightly,
+    and final params stay within the Adamax update scale (sign noise on
+    near-zero grads is the only legitimate divergence — see
+    __graft_entry__.dryrun_multichip)."""
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.parallel import shard_state_tp
+    from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.train.step import make_train_step
+
+    devices = jax.devices()
+    mesh = make_mesh(n_data=len(devices) // 2, n_model=2)
+    cfg = debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+    tc = TrainConfig(epochs=1, batch_size=16, step_based_warmup=True)
+    model, s0, tx = create_train_state(cfg, tc, total_steps=4)
+    sharded = shard_state_tp(s0, mesh, min_features=48)
+    single = jax.device_put(s0, devices[0])
+    step = make_train_step(model, tx, tc, 4, 4, donate=False)
+
+    def max_delta(a, b):
+        return max(
+            float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    for i in range(4):
+        batch = (
+            jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(0), i), (16, 32, 32, 1)
+            )
+            > 0.5
+        ).astype(jnp.float32)
+        sharded, ms = step(sharded, shard_batch(batch, mesh))
+        single, mu = step(single, jax.device_put(batch, devices[0]))
+        tol = 1e-6 if i == 0 else 2e-3
+        np.testing.assert_allclose(
+            float(ms["loss"]), float(mu["loss"]), rtol=tol
+        )
+        if i == 0:
+            assert max_delta(sharded.batch_stats, single.batch_stats) < 1e-4
+
+    lr = tc.learning_rate
+    assert max_delta(sharded.params, single.params) < 3 * lr * 4
+    assert max_delta(sharded.opt_state, single.opt_state) < 1.0
+
+
+def test_sharded_precision_recall_matches_single_device():
+    """P&R with row-sharded feature matrices (mesh= path, incl. sentinel
+    padding for non-divisible row counts) equals the single-device result."""
+    from nvae_tpu.eval.precision_recall import knn_precision_recall_features
+
+    rng = np.random.RandomState(0)
+    real = rng.randn(203, 32).astype(np.float32)  # 203 % 8 != 0 -> padding
+    gen = (rng.randn(157, 32) * 0.8 + 0.3).astype(np.float32)
+    base = knn_precision_recall_features(real, gen, nhood_sizes=(3, 5))
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    sharded = knn_precision_recall_features(
+        real, gen, nhood_sizes=(3, 5), mesh=mesh
+    )
+    for key in ("precision", "recall", "precision_k3", "recall_k5"):
+        np.testing.assert_allclose(sharded[key], base[key], atol=1e-6)
+    # Non-degenerate: both manifolds partially overlap.
+    assert 0.0 < base["precision"] < 1.0
+
+
 def test_dp_tp_train_step_matches_dp_only():
     """A DPxTP-sharded train step computes the same loss as DP-only —
     GSPMD collectives preserve the math."""
