@@ -105,6 +105,26 @@ def parse_args(argv=None):
     p.add_argument("--fid_sample_size", type=int, default=10000)
     p.add_argument("--feature_backbone", type=str, default="vgg16",
                    choices=["vgg16", "inception", "random_conv"])
+    # Metric-protocol parity switches (see PARITY.md "Evaluation parity
+    # switches"); --eval_parity turns all of them on at once.
+    p.add_argument("--pr_parity_accounting", action="store_true",
+                   help="Reproduce the reference's [0,2]-scaled P&R "
+                        "accounting (sums 2 microbatches per batch)")
+    p.add_argument("--pr_parity_orientation", action="store_true",
+                   help="Reproduce the reference's swapped P&R argument "
+                        "order (its 'precision' is textbook recall)")
+    p.add_argument("--parity_resize_299", action="store_true",
+                   help="Nearest-neighbor resize to 299x299 before the "
+                        "feature backbone, like the reference")
+    p.add_argument("--parity_fid_uint8", action="store_true",
+                   help="uint8-quantize images before FID features (the "
+                        "reference's PNG disk round-trip)")
+    p.add_argument("--parity_unit_input", action="store_true",
+                   help="Feed raw [0,1] images to the backbone (the "
+                        "reference applies no preprocessing)")
+    p.add_argument("--eval_parity", action="store_true",
+                   help="Enable every metric-protocol parity switch: "
+                        "bit-faithful reference protocol given real weights")
     return p.parse_args(argv)
 
 
@@ -261,6 +281,15 @@ def main(argv=None):
             temperatures=tuple(args.eval_temperatures),
             fid_sample_size=args.fid_sample_size,
             feature_backbone=args.feature_backbone,
+            pr_parity_accounting=(
+                args.pr_parity_accounting or args.eval_parity
+            ),
+            pr_parity_orientation=(
+                args.pr_parity_orientation or args.eval_parity
+            ),
+            parity_resize_299=args.parity_resize_299 or args.eval_parity,
+            parity_fid_uint8=args.parity_fid_uint8 or args.eval_parity,
+            parity_unit_input=args.parity_unit_input or args.eval_parity,
         )
         print(f"Negative log likelihood: {evaluation.nll}")
         print(evaluation)

@@ -88,6 +88,7 @@ def evaluate_model(
     pr_parity_orientation: bool = False,
     parity_resize_299: bool = False,
     parity_fid_uint8: bool = False,
+    parity_unit_input: bool = False,
 ) -> ModelEvaluation:
     """Full evaluation pass.  ``trainer`` provides the model + params
     (anything with ``.model``, ``.state`` and ``.sample_images``).
@@ -106,6 +107,9 @@ def evaluate_model(
     - ``parity_fid_uint8`` — the reference's FID round-trips images through
       uint8 PNGs on disk (reference ``evaluate.py:148-157``); True applies
       the equivalent truncating uint8 quantization to both feature inputs.
+    - ``parity_unit_input`` — the reference feeds raw [0, 1] images to the
+      Keras backbones with no preprocessing (reference ``evaluate.py:
+      209-215``); default here is ImageNet-style [-1, 1] scaling.
     """
     model: NVAE = trainer.model
     variables = {
@@ -121,6 +125,7 @@ def evaluate_model(
         feature_backbone,
         input_size=299 if parity_resize_299 else 0,
         resize_method="nearest" if parity_resize_299 else "bilinear",
+        input_scaling="unit" if parity_unit_input else "pm1",
     )
     rng = jax.random.PRNGKey(seed)
 

@@ -102,6 +102,7 @@ def get_extractor(
     input_size: int = 0,
     weights_path: Optional[str] = None,
     resize_method: str = "bilinear",
+    input_scaling: str = "pm1",
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns a jitted ``(B, H, W, C) in [0,1] -> (B, D)`` feature fn.
 
@@ -109,7 +110,12 @@ def get_extractor(
     299, random_conv 64).  ``resize_method="nearest"`` with
     ``input_size=299`` reproduces the reference's skimage ``order=0``
     resize-to-299 protocol (reference ``evaluate.py:228-234``).
+    ``input_scaling``: ``"pm1"`` (default) scales to [-1, 1];
+    ``"unit"`` feeds raw [0, 1] images — what the reference does (it calls
+    the Keras backbones with NO preprocessing, ``evaluate.py:209-215``).
     """
+    if input_scaling not in ("pm1", "unit"):
+        raise ValueError(f"unknown input_scaling {input_scaling!r}")
     if name == "random_conv":
         size = input_size or 64
         net = _RandomConvNet()
@@ -163,8 +169,9 @@ def get_extractor(
     @jax.jit
     def extract(x):
         x = _resize_to(x, size, method=resize_method)
-        # ImageNet-style scaling to [-1, 1].
-        return net.apply(variables, x * 2.0 - 1.0)
+        if input_scaling == "pm1":
+            x = x * 2.0 - 1.0  # ImageNet-style scaling to [-1, 1]
+        return net.apply(variables, x)
 
     return extract
 

@@ -58,6 +58,24 @@ def frechet_distance(
     )
 
 
+def fid_from_stats(mu1, sigma1, mu2, sigma2) -> float:
+    """FID from precomputed (mu, sigma) pairs — fp64 host path via
+    symmetric eigendecompositions (the PSD identity, same math as the
+    device path)."""
+    mu1 = np.asarray(mu1, dtype=np.float64)
+    mu2 = np.asarray(mu2, dtype=np.float64)
+    s1 = np.asarray(sigma1, dtype=np.float64)
+    s2 = np.asarray(sigma2, dtype=np.float64)
+    eps = 1e-6 * np.eye(s1.shape[0])
+    s1, s2 = s1 + eps, s2 + eps
+    vals1, vecs1 = np.linalg.eigh(s1)
+    root1 = (vecs1 * np.sqrt(np.clip(vals1, 0, None))) @ vecs1.T
+    inner_vals = np.linalg.eigvalsh(root1 @ s2 @ root1)
+    tr_sqrt = np.sum(np.sqrt(np.clip(inner_vals, 0, None)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_sqrt)
+
+
 def fid_from_features(feats1, feats2, precise: bool = True) -> float:
     """FID between two activation sets (each (N, D)).
 
@@ -71,14 +89,6 @@ def fid_from_features(feats1, feats2, precise: bool = True) -> float:
         return float(frechet_distance(mu1, c1, mu2, c2))
     a = np.asarray(feats1, dtype=np.float64)
     b = np.asarray(feats2, dtype=np.float64)
-    mu1, s1 = a.mean(0), np.cov(a, rowvar=False)
-    mu2, s2 = b.mean(0), np.cov(b, rowvar=False)
-    eps = 1e-6 * np.eye(s1.shape[0])
-    s1, s2 = s1 + eps, s2 + eps
-    # tr sqrtm(S1 S2) via the PSD identity (same math as the device path).
-    vals1, vecs1 = np.linalg.eigh(s1)
-    root1 = (vecs1 * np.sqrt(np.clip(vals1, 0, None))) @ vecs1.T
-    inner_vals = np.linalg.eigvalsh(root1 @ s2 @ root1)
-    tr_sqrt = np.sum(np.sqrt(np.clip(inner_vals, 0, None)))
-    diff = mu1 - mu2
-    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_sqrt)
+    return fid_from_stats(
+        a.mean(0), np.cov(a, rowvar=False), b.mean(0), np.cov(b, rowvar=False)
+    )

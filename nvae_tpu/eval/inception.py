@@ -89,7 +89,10 @@ class InceptionV3Features(nn.Module):
                 ],
                 f"{n}_b2",
             )
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=s)
+            bp = nn.avg_pool(
+                x, (3, 3), strides=(1, 1), padding=s,
+                count_include_pad=False,  # TF divisor excludes padding
+            )
             bp = ConvBN(pool_f, (1, 1), name=f"{n}_bp")(bp)
             x = jnp.concatenate([b0, b1, b2, bp], axis=-1)
 
@@ -131,7 +134,10 @@ class InceptionV3Features(nn.Module):
                 ],
                 f"{n}_b2",
             )
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=s)
+            bp = nn.avg_pool(
+                x, (3, 3), strides=(1, 1), padding=s,
+                count_include_pad=False,  # TF divisor excludes padding
+            )
             bp = ConvBN(192, (1, 1), name=f"{n}_bp")(bp)
             x = jnp.concatenate([b0, b1, b2, bp], axis=-1)
 
@@ -168,7 +174,10 @@ class InceptionV3Features(nn.Module):
             )
             b2a = ConvBN(384, (1, 3), name=f"{n}_b2a")(b2)
             b2b = ConvBN(384, (3, 1), name=f"{n}_b2b")(b2)
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=s)
+            bp = nn.avg_pool(
+                x, (3, 3), strides=(1, 1), padding=s,
+                count_include_pad=False,  # TF divisor excludes padding
+            )
             bp = ConvBN(192, (1, 1), name=f"{n}_bp")(bp)
             x = jnp.concatenate([b0, b1a, b1b, b2a, b2b, bp], axis=-1)
 

@@ -151,6 +151,92 @@ def test_inception_v3_runs_and_outputs_2048():
     assert np.all(np.isfinite(feats))
 
 
+class TestFidPathAPI:
+    """Stats caching + path API + CLI (reference fid_utils.py:454-550)."""
+
+    def _write_dir(self, d, images):
+        from nvae_tpu.utils.images import save_images_to_dir
+
+        save_images_to_dir(images, str(d))
+
+    def test_stats_npz_equals_directory_path(self, tmp_path):
+        from nvae_tpu.eval.fid import (
+            calculate_fid_given_paths,
+            compute_statistics_of_path,
+            save_statistics,
+        )
+
+        rng = np.random.RandomState(11)
+        a = rng.rand(24, 32, 32, 1).astype(np.float32)
+        b = rng.rand(24, 32, 32, 1).astype(np.float32) * 0.5
+        d1, d2 = tmp_path / "a", tmp_path / "b"
+        self._write_dir(d1, a)
+        self._write_dir(d2, b)
+        fid_dirs = calculate_fid_given_paths(
+            [str(d1), str(d2)], backbone="random_conv"
+        )
+        assert np.isfinite(fid_dirs) and fid_dirs > 0
+        # Precompute side 1, score stats-vs-dir: identical result.
+        mu, sigma = compute_statistics_of_path(str(d1), "random_conv")
+        stats = tmp_path / "a_stats.npz"
+        save_statistics(str(stats), mu, sigma)
+        fid_mixed = calculate_fid_given_paths(
+            [str(stats), str(d2)], backbone="random_conv"
+        )
+        np.testing.assert_allclose(fid_mixed, fid_dirs, rtol=1e-6)
+
+    def test_cli_save_stats_and_score(self, tmp_path, capsys):
+        from nvae_tpu.eval.fid import main
+
+        rng = np.random.RandomState(12)
+        d1, d2 = tmp_path / "x", tmp_path / "y"
+        self._write_dir(d1, rng.rand(16, 32, 32, 1).astype(np.float32))
+        self._write_dir(d2, rng.rand(16, 32, 32, 1).astype(np.float32))
+        stats = str(tmp_path / "x.npz")
+        assert main([str(d1), stats, "--save_stats",
+                     "--backbone", "random_conv"]) == 0
+        assert main([stats, str(d2), "--backbone", "random_conv"]) == 0
+        out = capsys.readouterr().out
+        assert "FID:" in out
+
+
+class TestEvalParitySwitches:
+    def test_quantize_uint8_truncates_like_reference(self):
+        from nvae_tpu.eval.evaluate import quantize_uint8
+
+        x = np.array([0.0, 0.4999 / 255, 1.7 / 255, 1.0], np.float32)
+        q = quantize_uint8(x)
+        # tf.cast(x*255, uint8) truncates: 0.4999 -> 0, 1.7 -> 1, 255 -> 255.
+        np.testing.assert_allclose(q, [0.0, 0.0, 1.0 / 255, 1.0])
+
+    def test_unit_scaling_changes_features(self):
+        x = np.random.RandomState(13).rand(2, 32, 32, 1).astype(np.float32)
+        f_pm1 = get_extractor("random_conv")
+        f_unit = get_extractor("random_conv", input_scaling="unit")
+        a = extract_features(x, f_pm1)
+        b = extract_features(x, f_unit)
+        assert not np.allclose(a, b)
+
+    def test_resize_299_nearest_extractor(self):
+        x = np.random.RandomState(14).rand(1, 32, 32, 1).astype(np.float32)
+        f = get_extractor(
+            "random_conv", input_size=299, resize_method="nearest"
+        )
+        feats = extract_features(x, f)
+        assert feats.shape == (1, 512) and np.all(np.isfinite(feats))
+
+    def test_pr_orientation_swap(self):
+        """With ref=subset(gen) geometry, swapping the argument order swaps
+        the labels — exactly the reference's defect."""
+        rng = np.random.RandomState(15)
+        real = rng.randn(300, 8).astype(np.float32) * 3
+        gen = rng.randn(300, 8).astype(np.float32) * 0.3
+        std = knn_precision_recall_features(real, gen)
+        swapped = knn_precision_recall_features(gen, real)
+        assert swapped["precision"] == pytest.approx(std["recall"])
+        assert swapped["recall"] == pytest.approx(std["precision"])
+
+
 @pytest.mark.slow
 def test_iwae_bound_tightens_with_more_samples():
     """IWAE-K is monotonically non-increasing in K (tighter NLL bound)."""
