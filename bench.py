@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--postprocess_depthwise", action="store_true",
                     help="Use the depthwise postprocess 5x5 (the form the "
                          "reference intended; ~2.5x fewer step FLOPs)")
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="Route the depthwise-5x5 hot spots through the fused "
+                         "swish->dw Pallas kernels")
     ap.add_argument("--time_budget", type=int, default=1200,
                     help="Hard wall-clock budget (s); on expiry the JSON line "
                          "is emitted with value 0 so callers never hang")
@@ -132,6 +135,7 @@ def main():
     model_cfg = ModelConfig(
         compute_dtype=args.compute_dtype,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
+        use_pallas_kernels=args.use_pallas,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size, step_based_warmup=True

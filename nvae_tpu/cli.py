@@ -97,6 +97,13 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize residual cells (activation-memory "
                         "saver for deep/high-res configs)")
+    p.add_argument("--postprocess_depthwise", action="store_true",
+                   help="Depthwise postprocess 5x5 (the form the reference "
+                        "intended but left commented out, postprocess.py:76; "
+                        "~2x faster steps, non-parity)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="Fused swish->depthwise-5x5 Pallas kernels on the "
+                        "hot spots (same math; TPU only, interpret elsewhere)")
     # Evaluation protocol (reference hardcodes 10 attempts / {0.6,0.8,1.0} /
     # 10,000 FID samples at evaluate.py:58-156; configurable here).
     p.add_argument("--eval_attempts", type=int, default=10)
@@ -154,6 +161,8 @@ def build_configs(args, bundle):
         compute_dtype=args.compute_dtype,
         temperature_all_groups=args.temperature_all_groups,
         remat=args.remat,
+        postprocess_5x5_depthwise=args.postprocess_depthwise,
+        use_pallas_kernels=args.use_pallas,
     )
     train_cfg = TrainConfig(
         epochs=args.epochs,

@@ -91,6 +91,12 @@ class ModelConfig:
     # commented out, postprocess.py:76). The full conv is ~2/3 of all step
     # FLOPs at the default config. False = reference parity.
     postprocess_5x5_depthwise: bool = False
+    # Route the depthwise-5x5 hot spots (generative cells; depthwise
+    # postprocess) through the fused swish->dw5x5 Pallas kernels
+    # (nvae_tpu/kernels/depthwise.py) instead of XLA's grouped-conv path.
+    # Same parameter tree and numerics (fp32 accumulation) either way;
+    # off-TPU the kernels run in interpret mode automatically.
+    use_pallas_kernels: bool = False
     # Rematerialize residual cells in the backward pass (jax.checkpoint):
     # trades ~25% step FLOPs for a large activation-memory cut — for deeper /
     # higher-resolution configs (CelebA-64) that would not otherwise fit HBM.

@@ -226,8 +226,9 @@ class _Decoder(nn.Module):
                     tuple(
                         _maybe_remat(GenerativeResidualCell, cfg)(
                             channels, expansion_ratio=cfg.expansion_ratio,
-                            se_ratio=cfg.se_ratio, mode=cfg.spectral_mode,
-                            dtype=dt,
+                            se_ratio=cfg.se_ratio,
+                            use_pallas=cfg.use_pallas_kernels,
+                            mode=cfg.spectral_mode, dtype=dt,
                         )
                         for _ in range(cfg.res_cells_per_group)
                     )
@@ -472,6 +473,7 @@ class _Postprocess(nn.Module):
                     channels, n_nodes=1, upscale=cell_idx == 0,
                     factor=cfg.scale_factor, se_ratio=cfg.se_ratio,
                     depthwise_5x5=cfg.postprocess_5x5_depthwise,
+                    use_pallas=cfg.use_pallas_kernels,
                     mode=cfg.spectral_mode, dtype=dt,
                 )(x, train)
         x = jax.nn.elu(x)

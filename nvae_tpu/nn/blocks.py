@@ -186,6 +186,7 @@ class GenerativeResidualCell(nn.Module):
     features: int
     expansion_ratio: int = 6
     se_ratio: int = 16
+    use_pallas: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -196,8 +197,13 @@ class GenerativeResidualCell(nn.Module):
             self.expansion_ratio * self.features, (1, 1), mode=self.mode,
             dtype=self.dtype,
         )(y, train)
-        y = swish(BatchNorm()(y, train))
-        y = DepthwiseConv((5, 5), dtype=self.dtype)(y)
+        # The BN->swish->dw5x5 middle runs as ONE fused Pallas pass under
+        # use_pallas (swish folded into the conv kernel's VMEM tile).
+        y = BatchNorm()(y, train)
+        y = DepthwiseConv(
+            (5, 5), use_pallas=self.use_pallas, fuse_swish=True,
+            dtype=self.dtype,
+        )(y)
         y = swish(BatchNorm()(y, train))
         y = SNConv(self.features, (1, 1), mode=self.mode, dtype=self.dtype)(y, train)
         y = BatchNorm()(y, train)
@@ -238,10 +244,14 @@ class DecoderSampleCombiner(nn.Module):
 
 
 class ConvBNSwish(nn.Module):
-    """conv -> BN -> swish (reference ``postprocess.py:91-111``)."""
+    """conv -> BN -> swish (reference ``postprocess.py:91-111``).
+
+    ``emit_preact`` returns the BN output *before* the swish so a following
+    fused Pallas kernel can apply it (same parameter tree either way)."""
 
     features: int
     kernel_size: Tuple[int, int] = (1, 1)
+    emit_preact: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -251,7 +261,8 @@ class ConvBNSwish(nn.Module):
             self.features, self.kernel_size, use_bias=False, mode=self.mode,
             dtype=self.dtype,
         )(x, train)
-        return swish(BatchNorm()(x, train))
+        x = BatchNorm()(x, train)
+        return x if self.emit_preact else swish(x)
 
 
 class PostprocessNode(nn.Module):
@@ -272,6 +283,7 @@ class PostprocessNode(nn.Module):
     expansion_ratio: int = 6
     se_ratio: int = 16
     depthwise_5x5: bool = False
+    use_pallas: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -284,9 +296,16 @@ class PostprocessNode(nn.Module):
             )(x, train)
         x = BatchNorm()(x, train)
         hidden = self.features * self.expansion_ratio
-        x = ConvBNSwish(hidden, (1, 1), mode=self.mode, dtype=self.dtype)(x, train)
+        use_pallas_dw = self.depthwise_5x5 and self.use_pallas
+        x = ConvBNSwish(
+            hidden, (1, 1), emit_preact=use_pallas_dw, mode=self.mode,
+            dtype=self.dtype,
+        )(x, train)
         if self.depthwise_5x5:
-            x = DepthwiseConv((5, 5), use_bias=False, dtype=self.dtype)(x)
+            x = DepthwiseConv(
+                (5, 5), use_bias=False, use_pallas=use_pallas_dw,
+                fuse_swish=use_pallas_dw, dtype=self.dtype,
+            )(x)
             x = swish(BatchNorm()(x, train))
         else:
             x = ConvBNSwish(hidden, (5, 5), mode=self.mode, dtype=self.dtype)(
@@ -310,6 +329,7 @@ class PostprocessCell(nn.Module):
     factor: int = 2
     se_ratio: int = 16
     depthwise_5x5: bool = False
+    use_pallas: bool = False
     mode: str = "projection"
     dtype: jnp.dtype = jnp.float32
 
@@ -328,7 +348,7 @@ class PostprocessCell(nn.Module):
             y = PostprocessNode(
                 self.features, upscale=up, factor=self.factor,
                 se_ratio=self.se_ratio, depthwise_5x5=self.depthwise_5x5,
-                mode=self.mode, dtype=self.dtype,
+                use_pallas=self.use_pallas, mode=self.mode, dtype=self.dtype,
             )(y, train)
             up = False
         return skip + 0.1 * y

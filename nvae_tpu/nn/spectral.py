@@ -121,10 +121,18 @@ class SNConv(nn.Module):
 
 class DepthwiseConv(nn.Module):
     """Depthwise 2-D convolution (reference ``decoder.py:130`` uses a plain,
-    *not* spectrally normalized, ``DepthwiseConv2D`` 5x5)."""
+    *not* spectrally normalized, ``DepthwiseConv2D`` 5x5).
+
+    ``use_pallas`` routes through the fused Pallas kernel
+    (:func:`nvae_tpu.kernels.depthwise.fused_swish_depthwise5x5`) with an
+    identical parameter tree; ``fuse_swish`` additionally folds the preceding
+    swish activation into the same VMEM pass (the caller must then feed the
+    *pre-activation* tensor)."""
 
     kernel_size: Tuple[int, int] = (5, 5)
     use_bias: bool = True
+    use_pallas: bool = False
+    fuse_swish: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +140,22 @@ class DepthwiseConv(nn.Module):
         in_ch = x.shape[-1]
         kshape = (*self.kernel_size, 1, in_ch)
         kernel = self.param("dw_kernel", nn.initializers.glorot_uniform(), kshape)
+        if self.use_pallas:
+            from nvae_tpu.kernels.depthwise import fused_swish_depthwise5x5
+
+            bias = (
+                self.param("bias", nn.initializers.zeros_init(), (in_ch,))
+                if self.use_bias
+                else None
+            )
+            return fused_swish_depthwise5x5(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias,
+                fuse_swish=self.fuse_swish,
+            )
+        if self.fuse_swish:
+            x = jax.nn.silu(x)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

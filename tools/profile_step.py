@@ -38,6 +38,7 @@ def capture(args):
     model_cfg = ModelConfig(
         compute_dtype=args.compute_dtype,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
+        use_pallas_kernels=args.use_pallas,
     )
     train_cfg = TrainConfig(batch_size=args.batch_size, step_based_warmup=True)
     total_steps = 400 * (60000 // args.batch_size)
@@ -191,6 +192,7 @@ def main():
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--postprocess_depthwise", action="store_true")
+    ap.add_argument("--use_pallas", action="store_true")
     args = ap.parse_args()
     if args.cmd == "capture":
         capture(args)
