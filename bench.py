@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--use_pallas", action="store_true",
                     help="Route the depthwise-5x5 hot spots through the fused "
                          "swish->dw Pallas kernels")
+    ap.add_argument("--donate", dest="donate", action="store_true",
+                    default=True,
+                    help="Donate the train state into the step/epoch program "
+                         "(in-place update, no state copy; default)")
+    ap.add_argument("--no_donate", dest="donate", action="store_false",
+                    help="Copy the state every step/epoch instead of "
+                         "donating (the round-1 tunnel-stall workaround)")
     ap.add_argument("--time_budget", type=int, default=1200,
                     help="Hard wall-clock budget (s); on expiry the JSON line "
                          "is emitted with value 0 so callers never hang")
@@ -147,12 +154,12 @@ def main():
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
 
-    # donate=False: buffer donation through remote-tunnel runtimes has shown
-    # intermittent stalls in the async dispatch path; the copy costs ~1ms at
-    # this model size and keeps the benchmark robust.
+    # Donation is on by default (re-validated on the chip in round 2: no
+    # stalls over repeated step/epoch runs; the SIGALRM budget still guards
+    # the intermittent tunnel stalls that motivated the round-1 copy mode).
     step_fn = make_train_step(
         model, tx, train_cfg, total_steps,
-        steps_per_epoch=60000 // args.batch_size, donate=False,
+        steps_per_epoch=60000 // args.batch_size, donate=args.donate,
     )
 
     if args.mode == "sample":
@@ -202,7 +209,8 @@ def main():
         bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
         steps_per_epoch = n_train // args.batch_size
         runner = make_epoch_runner(
-            model, tx, train_cfg, total_steps, steps_per_epoch, donate=False
+            model, tx, train_cfg, total_steps, steps_per_epoch,
+            donate=args.donate,
         )
         data = stage_dataset(bundle.train_x)
         log(f"scan_epoch mode: {steps_per_epoch} steps/epoch, device-resident")

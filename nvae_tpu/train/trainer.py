@@ -156,10 +156,13 @@ class Trainer:
             )
 
             if self._epoch_runner is None:
+                # Donation re-validated on the chip in round 2 (no tunnel
+                # stalls across repeated epoch programs) — the state updates
+                # in place instead of being copied every epoch.
                 self._epoch_runner = make_epoch_runner(
                     self.model, self.tx, tc, self.total_steps,
                     train_iter.batches_per_epoch,
-                    target_size=train_iter.target_size, donate=False,
+                    target_size=train_iter.target_size, donate=True,
                 )
                 self._staged_data = stage_dataset(
                     train_iter.images,

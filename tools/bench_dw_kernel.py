@@ -8,7 +8,12 @@ nvae_tpu/kernels/depthwise.py (PROFILE.md records the findings).
 from __future__ import annotations
 
 import functools
+import os as _os
 import sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 import time
 
 import jax

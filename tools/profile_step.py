@@ -18,7 +18,12 @@ import argparse
 import collections
 import glob
 import os
+import os as _os
 import sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 import time
 
 
