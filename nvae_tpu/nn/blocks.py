@@ -60,9 +60,15 @@ class SqueezeExcitation(nn.Module):
         c = x.shape[-1]
         hidden = int(max(c // self.ratio, 4))
         s = jnp.mean(x, axis=(1, 2))  # global average pool
-        s = nn.Dense(hidden, kernel_init=nn.initializers.glorot_uniform())(s)
+        s = nn.Dense(
+            hidden, dtype=self.dtype,
+            kernel_init=nn.initializers.glorot_uniform(),
+        )(s)
         s = jax.nn.relu(s)
-        s = nn.Dense(c, kernel_init=nn.initializers.glorot_uniform())(s)
+        s = nn.Dense(
+            c, dtype=self.dtype,
+            kernel_init=nn.initializers.glorot_uniform(),
+        )(s)
         s = jax.nn.sigmoid(s)
         return x * s[:, None, None, :].astype(x.dtype)
 

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--nll_batches", type=int, default=4)
     ap.add_argument("--out", type=str, default="results/parity_run")
     ap.add_argument("--batch_size", type=int, default=144)
+    ap.add_argument("--n_train", type=int, default=15000,
+                    help="synthetic dataset size (ignored for file datasets)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +76,12 @@ def main():
     log(f"model: {model_cfg}")
     log(f"train: {train_cfg}")
 
-    bundle = load_dataset(args.dataset, args.data_dir)
+    if args.dataset == "synthetic":
+        from nvae_tpu.data import synthetic_dataset
+
+        bundle = synthetic_dataset(n_train=args.n_train, n_test=1440)
+    else:
+        bundle = load_dataset(args.dataset, args.data_dir)
     train_iter, test_iter = make_iterators(
         bundle, args.batch_size, binarize=train_cfg.binary,
         parity_binarize_255=train_cfg.parity_binarize_255,
