@@ -178,7 +178,12 @@ def synthetic_dataset(
     imgs = np.clip(blurred, 0.0, 1.0)
     data = (imgs * 255).astype(np.uint8)[..., None]
     if channels > 1:
-        data = np.repeat(data, channels, axis=-1)
+        # Per-image random color tint so RGB configs (DML likelihood) see
+        # genuine cross-channel structure, not three identical planes.
+        tint = 0.35 + 0.65 * rng.rand(n, 1, 1, channels)
+        data = np.clip(
+            data.astype(np.float32) * tint, 0, 255
+        ).astype(np.uint8)
     return DataBundle("synthetic", data[:n_train], data[n_train:])
 
 

@@ -106,7 +106,7 @@ def depthwise_conv5x5(
         in_specs=[
             pl.BlockSpec(
                 (bt, h, w, cb), lambda i, j: (i, 0, 0, j),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (k * k, cb), lambda i, j: (0, j), memory_space=pltpu.VMEM

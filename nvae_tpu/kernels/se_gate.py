@@ -57,7 +57,7 @@ def se_gate(
         in_specs=[
             pl.BlockSpec(
                 (1, h, w, c), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

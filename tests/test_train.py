@@ -126,3 +126,32 @@ def test_forward_parity_spectral_mode_trains():
     assert np.isfinite(float(metrics["loss"]))
     changed = any(not np.allclose(a, b) for a, b in zip(u_before, u_after))
     assert changed, "power-iteration vectors must update during training"
+
+
+@pytest.mark.slow
+def test_dml_rgb_training_step():
+    """The DML-likelihood (RGB) configuration trains: loss finite and
+    decreasing over a few steps on tinted synthetic RGB data (BASELINE
+    config #4's likelihood path, reference postprocess.py:29 analog)."""
+    from nvae_tpu.data import synthetic_dataset
+    from nvae_tpu.data.pipeline import make_iterators
+
+    model_cfg = debug_config(likelihood="dml", in_channels=3, n_mix=4)
+    train_cfg = TrainConfig(
+        epochs=2, batch_size=4, step_based_warmup=True, binary=False
+    )
+    model, state, tx = create_train_state(model_cfg, train_cfg, total_steps=100)
+    step_fn = make_train_step(
+        model, tx, train_cfg, total_steps=100, steps_per_epoch=50, donate=False
+    )
+    bundle = synthetic_dataset(n_train=16, n_test=8, channels=3)
+    train_iter, _ = make_iterators(
+        bundle, 4, binarize=False, seed=0
+    )
+    losses = []
+    for batch in train_iter.epoch(0):
+        assert batch.shape[-1] == 3
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(x) for x in losses)
+    assert losses[-1] < losses[0]
