@@ -40,7 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--scale_factor", type=int, default=2)
     p.add_argument("--dataset", type=str, default="mnist",
                    choices=["mnist", "fashion_mnist", "omniglot", "cifar10",
-                            "celeba", "synthetic"])
+                            "celeba", "synthetic", "synthetic_rgb",
+                            "synthetic_rgb64"])
     p.add_argument("--cpu", action="store_true", help="Force CPU execution")
     p.add_argument("--debug", action="store_true",
                    help="Use only the first 4 batches of data")
@@ -213,9 +214,17 @@ def main(argv=None):
         from nvae_tpu.presets import get_preset
 
         model_cfg, preset_train = get_preset(args.preset)
-        bundle = load_dataset(preset_train.dataset, args.data_dir)
+        # An explicitly non-default --dataset overrides the preset's (e.g.
+        # --preset cifar10_dml --dataset synthetic_rgb drives the DML
+        # architecture without local CIFAR files).
+        preset_ds = (
+            args.dataset if args.dataset not in ("", "mnist")
+            else preset_train.dataset
+        )
+        bundle = load_dataset(preset_ds, args.data_dir)
         train_cfg = _dc.replace(
             preset_train,
+            dataset=preset_ds,
             epochs=args.epochs,
             seed=args.seed,
             debug=args.debug,

@@ -190,7 +190,18 @@ def synthetic_dataset(
 def load_dataset(name: str, data_dir: str = "", **synth_kwargs) -> DataBundle:
     """Registry entry point (replaces reference ``datasets.py``)."""
     name = name.lower()
-    if name == "synthetic":
+    if name.startswith("synthetic"):
+        # synthetic | synthetic_rgb | synthetic_rgb64 — procedural data in
+        # the shape of each BASELINE config family (grayscale 28->32-pad,
+        # CIFAR-like 32x32 RGB, CelebA-like 64x64 RGB).
+        if name == "synthetic_rgb":
+            synth_kwargs.setdefault("channels", 3)
+            synth_kwargs.setdefault("image_size", 32)
+        elif name == "synthetic_rgb64":
+            synth_kwargs.setdefault("channels", 3)
+            synth_kwargs.setdefault("image_size", 64)
+        elif name != "synthetic":
+            raise ValueError(f"unknown dataset {name!r}")
         return synthetic_dataset(**synth_kwargs)
     if name == "mnist":
         return _load_mnist_like("mnist", data_dir)

@@ -121,3 +121,14 @@ def test_presets_all_valid():
     assert m.likelihood == "dml" and m.in_channels == 3 and not t.binary
     m, t = get_preset("celeba64")
     assert m.image_size == 64 and m.remat
+
+
+def test_synthetic_rgb_registry_names():
+    from nvae_tpu.data import load_dataset
+
+    b = load_dataset("synthetic_rgb", n_train=8, n_test=4)
+    assert b.train_x.shape == (8, 32, 32, 3)
+    # Tinted: channels must differ (not three identical planes).
+    assert (b.train_x[..., 0] != b.train_x[..., 1]).any()
+    b64 = load_dataset("synthetic_rgb64", n_train=4, n_test=2)
+    assert b64.train_x.shape == (4, 64, 64, 3)
