@@ -43,6 +43,10 @@ def main():
                          "sync timing (pays tunnel RTT per step)")
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--bn_apply_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="BN apply in bf16 (stats fp32): removes the fp32 "
+                         "islands between bf16 convs (PROFILE.md finding 2)")
     ap.add_argument("--postprocess_depthwise", action="store_true",
                     help="Use the depthwise postprocess 5x5 (the form the "
                          "reference intended; ~2.5x fewer step FLOPs)")
@@ -141,6 +145,7 @@ def main():
 
     model_cfg = ModelConfig(
         compute_dtype=args.compute_dtype,
+        bn_apply_dtype=args.bn_apply_dtype,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
         use_pallas_kernels=args.use_pallas,
     )

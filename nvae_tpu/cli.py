@@ -74,6 +74,11 @@ def parse_args(argv=None):
                         "variant), none")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--bn_apply_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="BatchNorm normalization-apply dtype (stats stay "
+                        "fp32); bfloat16 removes the fp32 islands between "
+                        "bf16 convs")
     p.add_argument("--likelihood", type=str, default="",
                    help="bernoulli|dml; default picks by dataset")
     p.add_argument("--data_parallel", type=int, default=0,
@@ -160,6 +165,7 @@ def build_configs(args, bundle):
         likelihood=likelihood,
         spectral_mode=args.spectral_mode,
         compute_dtype=args.compute_dtype,
+        bn_apply_dtype=args.bn_apply_dtype,
         temperature_all_groups=args.temperature_all_groups,
         remat=args.remat,
         postprocess_5x5_depthwise=args.postprocess_depthwise,

@@ -86,6 +86,12 @@ class ModelConfig:
     spectral_mode: str = "projection"
     # Compute dtype for convolutions ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Dtype of the BatchNorm normalization APPLY (x*mul+add). Statistics,
+    # running stats, and params always stay fp32. "bfloat16" keeps the whole
+    # elementwise chain between convs in bf16, removing the fp32 islands that
+    # bracket every conv with converts under compute_dtype=bfloat16
+    # (PROFILE.md finding 2). Parameter tree is unchanged either way.
+    bn_apply_dtype: str = "float32"
     # Replace the postprocess 5x5 FULL conv on the 6x-expanded hidden width
     # with a depthwise conv (the form the reference intended but left
     # commented out, postprocess.py:76). The full conv is ~2/3 of all step
@@ -113,6 +119,8 @@ class ModelConfig:
             raise ValueError(f"unknown likelihood {self.likelihood!r}")
         if self.spectral_mode not in ("projection", "forward", "penalty", "none"):
             raise ValueError(f"unknown spectral_mode {self.spectral_mode!r}")
+        if self.bn_apply_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown bn_apply_dtype {self.bn_apply_dtype!r}")
 
     # -- derived -----------------------------------------------------------
 

@@ -101,12 +101,14 @@ class _Preprocess(nn.Module):
                 x = _maybe_remat(StemCell, cfg)(
                     mult * cfg.n_encoder_channels, n_nodes=2, downsample=False,
                     se_ratio=cfg.se_ratio, mode=cfg.spectral_mode,
+                    bn_dtype=jnp.dtype(cfg.bn_apply_dtype),
                     dtype=jnp.dtype(cfg.compute_dtype),
                 )(x, train)
             mult *= cfg.scale_factor
             x = _maybe_remat(StemCell, cfg)(
                 mult * cfg.n_encoder_channels, n_nodes=2, downsample=True,
                 se_ratio=cfg.se_ratio, mode=cfg.spectral_mode,
+                bn_dtype=jnp.dtype(cfg.bn_apply_dtype),
                 dtype=jnp.dtype(cfg.compute_dtype),
             )(x, train)
         return x
@@ -139,7 +141,8 @@ class _Encoder(nn.Module):
                 for _ in range(cfg.res_cells_per_group):
                     x = _maybe_remat(EncoderResidualCell, cfg)(
                         channels, se_ratio=cfg.se_ratio,
-                        mode=cfg.spectral_mode, dtype=dt,
+                        mode=cfg.spectral_mode,
+                        bn_dtype=jnp.dtype(cfg.bn_apply_dtype), dtype=dt,
                     )(x, train)
                 is_last = scale == n_scales - 1 and group == n_groups - 1
                 if not is_last:
@@ -147,7 +150,8 @@ class _Encoder(nn.Module):
             if scale < n_scales - 1:
                 x = Rescaler(
                     shapes.enc_scale_channels[scale + 1], cfg.scale_factor,
-                    up=False, mode=cfg.spectral_mode, dtype=dt,
+                    up=False, mode=cfg.spectral_mode,
+                    bn_dtype=jnp.dtype(cfg.bn_apply_dtype), dtype=dt,
                 )(x, train)
         # Trunk head: ELU -> 1x1 conv -> ELU (reference encoder.py:58-66).
         trunk = jax.nn.elu(x)
@@ -228,7 +232,8 @@ class _Decoder(nn.Module):
                             channels, expansion_ratio=cfg.expansion_ratio,
                             se_ratio=cfg.se_ratio,
                             use_pallas=cfg.use_pallas_kernels,
-                            mode=cfg.spectral_mode, dtype=dt,
+                            mode=cfg.spectral_mode,
+                            bn_dtype=jnp.dtype(cfg.bn_apply_dtype), dtype=dt,
                         )
                         for _ in range(cfg.res_cells_per_group)
                     )
@@ -254,7 +259,8 @@ class _Decoder(nn.Module):
                 rescalers.append(
                     Rescaler(
                         shapes.dec_scale_channels[scale + 1], cfg.scale_factor,
-                        up=True, mode=cfg.spectral_mode, dtype=dt,
+                        up=True, mode=cfg.spectral_mode,
+                        bn_dtype=jnp.dtype(cfg.bn_apply_dtype), dtype=dt,
                     )
                 )
         self.cells = cells
@@ -474,7 +480,8 @@ class _Postprocess(nn.Module):
                     factor=cfg.scale_factor, se_ratio=cfg.se_ratio,
                     depthwise_5x5=cfg.postprocess_5x5_depthwise,
                     use_pallas=cfg.use_pallas_kernels,
-                    mode=cfg.spectral_mode, dtype=dt,
+                    mode=cfg.spectral_mode,
+                    bn_dtype=jnp.dtype(cfg.bn_apply_dtype), dtype=dt,
                 )(x, train)
         x = jax.nn.elu(x)
         if cfg.likelihood == "bernoulli":

@@ -37,22 +37,78 @@ class BatchNorm(nn.Module):
     ``psum`` itself (verified by the sharded-vs-unsharded trajectory test,
     ``tests/test_parallel.py``).  An ``axis_name`` would only be needed under
     ``shard_map``/``pmap``, which this framework does not use.
+
+    ``apply_dtype``: dtype of the *normalization apply* (the elementwise
+    ``x*mul+add``).  Statistics (batch mean/variance, running stats, params)
+    are always fp32; with ``apply_dtype=bfloat16`` the output — and therefore
+    the whole elementwise chain between convolutions — stays bf16, removing
+    the fp32 islands that bracket every conv with converts (PROFILE.md
+    finding 2).  Parameter/variable tree is identical to the fp32 path.
     """
+
+    apply_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.05,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-        )(x)
+        if self.apply_dtype == jnp.float32:
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.05,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x)
+        return _SplitPrecisionBN(
+            momentum=0.05, epsilon=1e-5, apply_dtype=self.apply_dtype,
+            name="BatchNorm_0",
+        )(x, train)
+
+
+class _SplitPrecisionBN(nn.Module):
+    """fp32-statistics / low-precision-apply BatchNorm.
+
+    Same math, parameter names ('scale'/'bias') and batch_stats names
+    ('mean'/'var') as ``flax.linen.BatchNorm`` — checkpoints interchange with
+    the fp32 path (the wrapper pins ``name="BatchNorm_0"`` to keep the tree
+    identical).  Variance via E[x^2]-E[x]^2 in fp32, like flax."""
+
+    momentum: float = 0.05
+    epsilon: float = 1e-5
+    apply_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feats,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (feats,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feats,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feats,), jnp.float32)
+        )
+        reduce_axes = tuple(range(x.ndim - 1))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        dt = self.apply_dtype
+        return x.astype(dt) * mul.astype(dt) + add.astype(dt)
 
 
 class SqueezeExcitation(nn.Module):
     """Squeeze-and-excitation gate (Hu et al. 2019; reference ``common.py:110-142``)."""
 
     ratio: int = 16
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,11 +137,12 @@ class Rescaler(nn.Module):
     factor: int = 2
     up: bool = False
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = BatchNorm()(x, train)
+        x = BatchNorm(self.bn_dtype)(x, train)
         x = swish(x)
         if self.up:
             b, h, w, c = x.shape
@@ -113,6 +170,7 @@ class FactorizedDownsample(nn.Module):
 
     features: int
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,6 +198,7 @@ class StemCell(nn.Module):
     downsample: bool = False
     se_ratio: int = 16
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,7 +211,7 @@ class StemCell(nn.Module):
             skip = x
         y = x
         for i in range(self.n_nodes):
-            y = BatchNorm()(y, train)
+            y = BatchNorm(self.bn_dtype)(y, train)
             y = swish(y)
             stride = (2, 2) if (self.downsample and i == 0) else (1, 1)
             y = SNConv(
@@ -171,13 +230,14 @@ class EncoderResidualCell(nn.Module):
     features: int
     se_ratio: int = 16
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        y = swish(BatchNorm()(x, train))
+        y = swish(BatchNorm(self.bn_dtype)(x, train))
         y = SNConv(self.features, (3, 3), mode=self.mode, dtype=self.dtype)(y, train)
-        y = swish(BatchNorm()(y, train))
+        y = swish(BatchNorm(self.bn_dtype)(y, train))
         y = SNConv(self.features, (3, 3), mode=self.mode, dtype=self.dtype)(y, train)
         y = SqueezeExcitation(self.se_ratio, dtype=self.dtype)(y)
         return 0.1 * x + y
@@ -194,25 +254,26 @@ class GenerativeResidualCell(nn.Module):
     se_ratio: int = 16
     use_pallas: bool = False
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        y = BatchNorm()(x, train)
+        y = BatchNorm(self.bn_dtype)(x, train)
         y = SNConv(
             self.expansion_ratio * self.features, (1, 1), mode=self.mode,
             dtype=self.dtype,
         )(y, train)
         # The BN->swish->dw5x5 middle runs as ONE fused Pallas pass under
         # use_pallas (swish folded into the conv kernel's VMEM tile).
-        y = BatchNorm()(y, train)
+        y = BatchNorm(self.bn_dtype)(y, train)
         y = DepthwiseConv(
             (5, 5), use_pallas=self.use_pallas, fuse_swish=True,
             dtype=self.dtype,
         )(y)
-        y = swish(BatchNorm()(y, train))
+        y = swish(BatchNorm(self.bn_dtype)(y, train))
         y = SNConv(self.features, (1, 1), mode=self.mode, dtype=self.dtype)(y, train)
-        y = BatchNorm()(y, train)
+        y = BatchNorm(self.bn_dtype)(y, train)
         y = SqueezeExcitation(self.se_ratio, dtype=self.dtype)(y)
         return 0.1 * x + y
 
@@ -223,6 +284,7 @@ class EncDecCombiner(nn.Module):
 
     features: int
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -239,6 +301,7 @@ class DecoderSampleCombiner(nn.Module):
 
     features: int
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -259,6 +322,7 @@ class ConvBNSwish(nn.Module):
     kernel_size: Tuple[int, int] = (1, 1)
     emit_preact: bool = False
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -267,7 +331,7 @@ class ConvBNSwish(nn.Module):
             self.features, self.kernel_size, use_bias=False, mode=self.mode,
             dtype=self.dtype,
         )(x, train)
-        x = BatchNorm()(x, train)
+        x = BatchNorm(self.bn_dtype)(x, train)
         return x if self.emit_preact else swish(x)
 
 
@@ -291,6 +355,7 @@ class PostprocessNode(nn.Module):
     depthwise_5x5: bool = False
     use_pallas: bool = False
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -298,29 +363,30 @@ class PostprocessNode(nn.Module):
         if self.upscale:
             x = Rescaler(
                 self.features, self.factor, up=True, mode=self.mode,
-                dtype=self.dtype,
+                bn_dtype=self.bn_dtype, dtype=self.dtype,
             )(x, train)
-        x = BatchNorm()(x, train)
+        x = BatchNorm(self.bn_dtype)(x, train)
         hidden = self.features * self.expansion_ratio
         use_pallas_dw = self.depthwise_5x5 and self.use_pallas
         x = ConvBNSwish(
             hidden, (1, 1), emit_preact=use_pallas_dw, mode=self.mode,
-            dtype=self.dtype,
+            bn_dtype=self.bn_dtype, dtype=self.dtype,
         )(x, train)
         if self.depthwise_5x5:
             x = DepthwiseConv(
                 (5, 5), use_bias=False, use_pallas=use_pallas_dw,
                 fuse_swish=use_pallas_dw, dtype=self.dtype,
             )(x)
-            x = swish(BatchNorm()(x, train))
+            x = swish(BatchNorm(self.bn_dtype)(x, train))
         else:
-            x = ConvBNSwish(hidden, (5, 5), mode=self.mode, dtype=self.dtype)(
-                x, train
-            )
+            x = ConvBNSwish(
+                hidden, (5, 5), mode=self.mode, bn_dtype=self.bn_dtype,
+                dtype=self.dtype,
+            )(x, train)
         x = SNConv(
             self.features, (1, 1), use_bias=False, mode=self.mode, dtype=self.dtype
         )(x, train)
-        x = BatchNorm()(x, train)
+        x = BatchNorm(self.bn_dtype)(x, train)
         x = SqueezeExcitation(self.se_ratio, dtype=self.dtype)(x)
         return x
 
@@ -337,6 +403,7 @@ class PostprocessCell(nn.Module):
     depthwise_5x5: bool = False
     use_pallas: bool = False
     mode: str = "projection"
+    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -344,7 +411,7 @@ class PostprocessCell(nn.Module):
         if self.upscale:
             skip = Rescaler(
                 self.features, self.factor, up=True, mode=self.mode,
-                dtype=self.dtype,
+                bn_dtype=self.bn_dtype, dtype=self.dtype,
             )(x, train)
         else:
             skip = x
@@ -354,7 +421,8 @@ class PostprocessCell(nn.Module):
             y = PostprocessNode(
                 self.features, upscale=up, factor=self.factor,
                 se_ratio=self.se_ratio, depthwise_5x5=self.depthwise_5x5,
-                use_pallas=self.use_pallas, mode=self.mode, dtype=self.dtype,
+                use_pallas=self.use_pallas, mode=self.mode,
+                bn_dtype=self.bn_dtype, dtype=self.dtype,
             )(y, train)
             up = False
         return skip + 0.1 * y

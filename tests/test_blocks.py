@@ -163,3 +163,71 @@ def test_batchnorm_updates_stats_in_train_only():
     # Eval mode: no mutation needed.
     out_eval = cell.apply(variables, x, False)
     assert out_eval.shape == x.shape
+
+
+def test_split_precision_bn_matches_flax():
+    """bf16-apply BatchNorm: identical variable tree to the fp32 path, same
+    running-stat update semantics, and outputs equal within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nvae_tpu.nn.blocks import BatchNorm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 4, 4, 16)) * 3.0 + 1.5
+
+    bn32 = BatchNorm(jnp.float32)
+    bn16 = BatchNorm(jnp.bfloat16)
+    v32 = bn32.init(rng, x, True)
+    v16 = bn16.init(rng, x, True)
+    assert jax.tree_util.tree_structure(v32) == jax.tree_util.tree_structure(
+        v16
+    )
+
+    y32, m32 = bn32.apply(v32, x, True, mutable=["batch_stats"])
+    y16, m16 = bn16.apply(v32, x, True, mutable=["batch_stats"])
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y16, np.float32), np.asarray(y32), atol=0.05
+    )
+    # Running stats update identically (both computed in fp32).
+    for a, b in zip(
+        jax.tree.leaves(m32["batch_stats"]), jax.tree.leaves(m16["batch_stats"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    # Eval mode uses the running stats.
+    v16_run = {"params": v32["params"], "batch_stats": m16["batch_stats"]}
+    y_eval = bn16.apply(v16_run, x, False)
+    assert y_eval.dtype == jnp.bfloat16
+    y_eval32 = bn32.apply(
+        {"params": v32["params"], "batch_stats": m32["batch_stats"]}, x, False
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_eval, np.float32), np.asarray(y_eval32), atol=0.05
+    )
+
+
+def test_bn_apply_dtype_model_config():
+    """Model builds and runs with bn_apply_dtype=bfloat16; same param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvae_tpu.config import debug_config
+    from nvae_tpu.models import NVAE
+
+    cfg32 = debug_config(compute_dtype="bfloat16")
+    cfg16 = debug_config(compute_dtype="bfloat16", bn_apply_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    x = (jax.random.uniform(jax.random.fold_in(rng, 1), (2, 32, 32, 1)) > 0.5
+         ).astype(jnp.float32)
+    keys = {"params": rng, "sample": jax.random.fold_in(rng, 2)}
+    v32 = NVAE(cfg32).init(keys, x, train=False)
+    out = NVAE(cfg16).apply(
+        v32, x, train=False, rngs={"sample": jax.random.fold_in(rng, 3)}
+    )
+    assert jnp.isfinite(out.logits).all()
+    assert jax.tree_util.tree_structure(v32) == jax.tree_util.tree_structure(
+        NVAE(cfg16).init(keys, x, train=False)
+    )
