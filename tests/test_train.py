@@ -155,3 +155,33 @@ def test_dml_rgb_training_step():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(x) for x in losses)
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_bn_bf16_apply_matches_fp32_trajectory():
+    """bn_apply_dtype=bfloat16 (fp32 stats, bf16 apply) must track the
+    fp32-BN training trajectory to within bf16 rounding — same losses,
+    step for step, on the debug config."""
+    trajectories = {}
+    for bn in ("float32", "bfloat16"):
+        model_cfg = debug_config(compute_dtype="bfloat16", bn_apply_dtype=bn)
+        train_cfg = TrainConfig(epochs=2, batch_size=4, step_based_warmup=True)
+        model, state, tx = create_train_state(
+            model_cfg, train_cfg, total_steps=100
+        )
+        step_fn = make_train_step(
+            model, tx, train_cfg, total_steps=100, steps_per_epoch=50,
+            donate=False,
+        )
+        batch = (
+            jax.random.uniform(jax.random.PRNGKey(42), (4, 32, 32, 1)) > 0.5
+        ).astype(jnp.float32)
+        losses = []
+        for _ in range(6):
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(x) for x in losses)
+        trajectories[bn] = np.array(losses)
+    np.testing.assert_allclose(
+        trajectories["bfloat16"], trajectories["float32"], rtol=2e-3
+    )

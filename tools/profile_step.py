@@ -42,6 +42,7 @@ def capture(args):
     log(f"devices: {jax.devices()}")
     model_cfg = ModelConfig(
         compute_dtype=args.compute_dtype,
+        bn_apply_dtype=args.bn_apply_dtype,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
         use_pallas_kernels=args.use_pallas,
     )
@@ -196,6 +197,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--bn_apply_dtype", default="float32")
     ap.add_argument("--postprocess_depthwise", action="store_true")
     ap.add_argument("--use_pallas", action="store_true")
     args = ap.parse_args()
