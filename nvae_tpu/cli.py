@@ -38,7 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--n_groups_per_scale", nargs="+", type=int, default=[5, 10])
     p.add_argument("--sr_lambda", type=float, default=0.01)
     p.add_argument("--scale_factor", type=int, default=2)
-    p.add_argument("--dataset", type=str, default="mnist",
+    # Default None (= mnist without a preset) so an explicit "--dataset
+    # mnist" can override a preset's dataset.
+    p.add_argument("--dataset", type=str, default=None,
                    choices=["mnist", "fashion_mnist", "omniglot", "cifar10",
                             "celeba", "synthetic", "synthetic_rgb",
                             "synthetic_rgb64"])
@@ -220,13 +222,21 @@ def main(argv=None):
         from nvae_tpu.presets import get_preset
 
         model_cfg, preset_train = get_preset(args.preset)
-        # An explicitly non-default --dataset overrides the preset's (e.g.
-        # --preset cifar10_dml --dataset synthetic_rgb drives the DML
-        # architecture without local CIFAR files).
-        preset_ds = (
-            args.dataset if args.dataset not in ("", "mnist")
-            else preset_train.dataset
+        # Performance switches compose with presets (same math / same param
+        # tree — they are not part of a preset's architecture identity).
+        model_cfg = _dc.replace(
+            model_cfg,
+            compute_dtype=args.compute_dtype,
+            bn_apply_dtype=args.bn_apply_dtype,
+            postprocess_5x5_depthwise=args.postprocess_depthwise,
+            use_pallas_kernels=args.use_pallas,
+            remat=model_cfg.remat or args.remat,
         )
+        # An explicitly passed --dataset overrides the preset's (e.g.
+        # --preset cifar10_dml --dataset synthetic_rgb drives the DML
+        # architecture without local CIFAR files).  argparse default is
+        # None so `--dataset mnist` is distinguishable from "not given".
+        preset_ds = args.dataset or preset_train.dataset
         bundle = load_dataset(preset_ds, args.data_dir)
         train_cfg = _dc.replace(
             preset_train,
@@ -251,6 +261,7 @@ def main(argv=None):
         args.dataset = train_cfg.dataset
         args.batch_size = train_cfg.batch_size
     else:
+        args.dataset = args.dataset or "mnist"
         bundle = load_dataset(args.dataset, args.data_dir)
         model_cfg, train_cfg = build_configs(args, bundle)
 

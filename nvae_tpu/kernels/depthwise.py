@@ -184,6 +184,11 @@ def _fused_dx_kernel(dy_ref, w_ref, x_ref, dx_ref, *, k, fuse_swish):
     dx_ref[...] = acc.astype(dx_ref.dtype)
 
 
+def _fused_dx_nox_kernel(dy_ref, w_ref, dx_ref, *, k):
+    """dx kernel for the unfused case — no residual ``x`` operand at all."""
+    _fused_dx_kernel(dy_ref, w_ref, None, dx_ref, k=k, fuse_swish=False)
+
+
 def _fused_dw_kernel(x_ref, dy_ref, dw_ref, db_ref, *, k, fuse_swish):
     # Grid (c_blocks, batch_tiles): the (k*k, cb) / (1, cb) output blocks map
     # only to the first grid axis, so they stay VMEM-resident across the
@@ -248,19 +253,29 @@ def _make_fused_dw(k: int, fuse_swish: bool, has_bias: bool, interpret: bool):
         b, h, w, c = dy.shape
         cb = _pick_c_block(c)
         lane_c = max(cb, 128)
-        bt = _pick_batch_tile(b, 4 * (h + k - 1) * (w + k - 1) * lane_c, 11)
+        copies = 11 if fuse_swish else 8
+        bt = _pick_batch_tile(b, 4 * (h + k - 1) * (w + k - 1) * lane_c, copies)
+        # When swish is not fused the kernel never reads x — do not stream
+        # the residual block into VMEM at all.
+        tile_spec = pl.BlockSpec((bt, h, w, cb), lambda i, j: (i, 0, 0, j))
+        in_specs = [tile_spec, pl.BlockSpec((k * k, cb), lambda i, j: (0, j))]
+        operands = [dy, w2d]
+        if fuse_swish:
+            in_specs.append(tile_spec)
+            operands.append(x)
+        kern = (
+            functools.partial(_fused_dx_kernel, k=k, fuse_swish=True)
+            if fuse_swish
+            else functools.partial(_fused_dx_nox_kernel, k=k)
+        )
         return pl.pallas_call(
-            functools.partial(_fused_dx_kernel, k=k, fuse_swish=fuse_swish),
+            kern,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             grid=(b // bt, c // cb),
-            in_specs=[
-                pl.BlockSpec((bt, h, w, cb), lambda i, j: (i, 0, 0, j)),
-                pl.BlockSpec((k * k, cb), lambda i, j: (0, j)),
-                pl.BlockSpec((bt, h, w, cb), lambda i, j: (i, 0, 0, j)),
-            ],
-            out_specs=pl.BlockSpec((bt, h, w, cb), lambda i, j: (i, 0, 0, j)),
+            in_specs=in_specs,
+            out_specs=tile_spec,
             interpret=interpret,
-        )(dy, w2d, x)
+        )(*operands)
 
     def dw_call(x, dy):
         b, h, w, c = x.shape
@@ -320,10 +335,20 @@ def fused_swish_depthwise5x5(
     off-TPU so the same model code runs on CPU (tests) and TPU (production).
     """
     k = kernel.shape[0]
-    c = x.shape[-1]
+    b, h, w, c = x.shape
     w2d = kernel.reshape(k * k, c)
     if interpret is None:
         interpret = _auto_interpret()
+    # Feasibility: if even a one-row batch tile cannot satisfy the scoped-
+    # VMEM budget (large spatial extents, e.g. 64x64 at wide channels), the
+    # kernels cannot compile — fall back to the numerically identical XLA
+    # composition instead of erroring.
+    lane_c = max(_pick_c_block(c), 128)
+    row_bytes = 4 * (h + k - 1) * (w + k - 1) * lane_c
+    if row_bytes * 11 > 12 * 1024 * 1024:
+        s = jax.nn.silu(x) if fuse_swish else x
+        y = depthwise_conv5x5_reference(s, kernel)
+        return y + bias if bias is not None else y
     has_bias = bias is not None
     f = _make_fused_dw(k, bool(fuse_swish), has_bias, bool(interpret))
     if bias is None:

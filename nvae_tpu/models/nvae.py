@@ -500,7 +500,6 @@ class NVAE(nn.Module):
     - ``sample(n, temperature)`` -> (images, last_s, z1, z2)
       (reference ``NVAE.sample``, ``models.py:137-178``).
     - ``sample_with_z(z, s)`` -> images (reference ``models.py:181-189``).
-    - ``decode_logits(n, temperature)`` -> raw head parameters, for losses.
     """
 
     cfg: ModelConfig

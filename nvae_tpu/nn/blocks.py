@@ -108,7 +108,6 @@ class SqueezeExcitation(nn.Module):
     """Squeeze-and-excitation gate (Hu et al. 2019; reference ``common.py:110-142``)."""
 
     ratio: int = 16
-    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,7 +169,6 @@ class FactorizedDownsample(nn.Module):
 
     features: int
     mode: str = "projection"
-    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -284,7 +282,6 @@ class EncDecCombiner(nn.Module):
 
     features: int
     mode: str = "projection"
-    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -301,7 +298,6 @@ class DecoderSampleCombiner(nn.Module):
 
     features: int
     mode: str = "projection"
-    bn_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

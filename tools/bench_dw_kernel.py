@@ -116,7 +116,7 @@ def main():
             for bt in (1, 4, 16):
                 if b % bt:
                     continue
-                cb = c if c % 128 else c  # full channel in one block
+                cb = 128 if c % 128 == 0 else c  # 128-lane blocks when divisible
                 # VMEM estimate: skip configs that can't compile
                 tile = 4 * bt * (h + 4) * (w + 4) * (256 if c == 192 else c)
                 if tile * 8 > 100 * 1024 * 1024:
