@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=144)
     ap.add_argument("--n_train", type=int, default=15000,
                     help="synthetic dataset size (ignored for file datasets)")
+    ap.add_argument("--perf", action="store_true",
+                    help="Train the BEST-PERF configuration instead of the "
+                         "bit-parity one: mnist_step_sn (projection SN, "
+                         "proper binarization) + depthwise postprocess + "
+                         "bf16 compute + bf16 BN apply — the 43x bench "
+                         "config, demonstrated as a real training run")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +64,15 @@ def main():
     from nvae_tpu.utils.logging import MetricsLogger
 
     os.makedirs(args.out, exist_ok=True)
-    model_cfg, train_cfg = get_preset("mnist_step_sn_parity")
+    preset = "mnist_step_sn" if args.perf else "mnist_step_sn_parity"
+    model_cfg, train_cfg = get_preset(preset)
+    if args.perf:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            postprocess_5x5_depthwise=True,
+            compute_dtype="bfloat16",
+            bn_apply_dtype="bfloat16",
+        )
     train_cfg = dataclasses.replace(
         train_cfg,
         dataset=args.dataset,
@@ -146,7 +160,7 @@ def main():
                 "curves": curves,
                 "history": hist,
                 "wall_seconds": wall,
-                "config": "mnist_step_sn_parity",
+                "config": preset + ("+perf" if args.perf else ""),
                 "dataset": args.dataset,
             },
             f, indent=2,
