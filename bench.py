@@ -71,11 +71,12 @@ def main():
     # budget expiry, emit a zero-valued JSON line instead of hanging.
     import signal
 
+    bs = args.batch_size
     metric_name = {
-        "step": "train_throughput_mnist_nvae_b144",
-        "epoch": "train_epoch_throughput_mnist_nvae_b144",
-        "scan_epoch": "train_scan_epoch_throughput_mnist_nvae_b144",
-        "sample": "sample_throughput_mnist_nvae_b144",
+        "step": f"train_throughput_mnist_nvae_b{bs}",
+        "epoch": f"train_epoch_throughput_mnist_nvae_b{bs}",
+        "scan_epoch": f"train_scan_epoch_throughput_mnist_nvae_b{bs}",
+        "sample": f"sample_throughput_mnist_nvae_b{bs}",
         "pr": "knn_precision_recall_seconds",
     }[args.mode]
 
@@ -197,7 +198,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "sample_throughput_mnist_nvae_b144",
+                    "metric": metric_name,
                     "value": round(images_per_sec, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
@@ -230,7 +231,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "train_scan_epoch_throughput_mnist_nvae_b144",
+                    "metric": metric_name,
                     "value": round(images_per_sec, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(
@@ -264,7 +265,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "train_epoch_throughput_mnist_nvae_b144",
+                    "metric": metric_name,
                     "value": round(images_per_sec, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(
@@ -324,7 +325,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "train_throughput_mnist_nvae_b144",
+                    "metric": metric_name,
                     "value": 0.0,
                     "unit": "images/sec",
                     "vs_baseline": 0.0,
@@ -342,7 +343,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_throughput_mnist_nvae_b144",
+                "metric": metric_name,
                 "value": round(images_per_sec, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
