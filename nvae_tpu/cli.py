@@ -325,6 +325,7 @@ def main(argv=None):
             parity_resize_299=args.parity_resize_299 or args.eval_parity,
             parity_fid_uint8=args.parity_fid_uint8 or args.eval_parity,
             parity_unit_input=args.parity_unit_input or args.eval_parity,
+            mesh=mesh,
         )
         print(f"Negative log likelihood: {evaluation.nll}")
         print(evaluation)

@@ -89,6 +89,7 @@ def evaluate_model(
     parity_resize_299: bool = False,
     parity_fid_uint8: bool = False,
     parity_unit_input: bool = False,
+    mesh=None,
 ) -> ModelEvaluation:
     """Full evaluation pass.  ``trainer`` provides the model + params
     (anything with ``.model``, ``.state`` and ``.sample_images``).
@@ -135,7 +136,9 @@ def evaluate_model(
     # Real test images, loaded once (greyscale probs in [0,1]).
     test_batches = list(test_iter.epoch(0))
     real_images = np.concatenate([np.asarray(b) for b in test_batches])
-    real_feats = extract_features(maybe_quantize(real_images), extractor)
+    real_feats = extract_features(
+        maybe_quantize(real_images), extractor, mesh=mesh
+    )
 
     # Per-half real features for the P&R loop, computed ONCE — they do not
     # change across attempts/temperatures (the reference recomputes VGG
@@ -144,7 +147,7 @@ def evaluate_model(
     for real_batch in test_batches:
         for half in np.split(np.asarray(real_batch), 2):
             real_halves.append(
-                (len(half), extract_features(half, extractor))
+                (len(half), extract_features(half, extractor, mesh=mesh))
             )
 
     def _sample_impl(v, key, t, n):
@@ -184,14 +187,20 @@ def evaluate_model(
             for h_i, (n_half, real_f) in enumerate(real_halves):
                 kk = jax.random.fold_in(k2, h_i)
                 gen, *_ = sample(n_half, temperature, kk)
-                gen_f = extract_features(np.asarray(gen), extractor)
+                gen_f = extract_features(
+                    np.asarray(gen), extractor, mesh=mesh
+                )
                 if pr_parity_orientation:
                     # Reference argument order (evaluate.py:72-74):
                     # ref=GENERATED, eval=REAL — so "precision" below is
                     # the textbook recall and vice versa.
-                    pr = knn_precision_recall_features(gen_f, real_f)
+                    pr = knn_precision_recall_features(
+                        gen_f, real_f, mesh=mesh
+                    )
                 else:
-                    pr = knn_precision_recall_features(real_f, gen_f)
+                    pr = knn_precision_recall_features(
+                        real_f, gen_f, mesh=mesh
+                    )
                 p_sum += pr["precision"]
                 r_sum += pr["recall"]
                 n_micro += 1
@@ -209,8 +218,8 @@ def evaluate_model(
             za, zb = ppl_mod.slerp_pair(z1, z2, k3)
             img_a = sample_with_z_jit(variables, za, last_s, k3)
             img_b = sample_with_z_jit(variables, zb, last_s, k3)
-            fa = extract_features(np.asarray(img_a), extractor)
-            fb = extract_features(np.asarray(img_b), extractor)
+            fa = extract_features(np.asarray(img_a), extractor, mesh=mesh)
+            fb = extract_features(np.asarray(img_b), extractor, mesh=mesh)
             ppls.append(ppl_mod.evaluate(fa, fb))
 
         # FID at this temperature over fid_sample_size samples.
@@ -220,7 +229,7 @@ def evaluate_model(
             kk = jax.random.fold_in(rng, 555000 + t_i * 1000 + b)
             gen, *_ = sample(batch_size, temperature, kk)
             gen_feats.append(
-                extract_features(maybe_quantize(gen), extractor)
+                extract_features(maybe_quantize(gen), extractor, mesh=mesh)
             )
         fid = fid_from_features(real_feats, np.concatenate(gen_feats))
 

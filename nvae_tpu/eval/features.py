@@ -177,12 +177,36 @@ def get_extractor(
 
 
 def extract_features(
-    images, extractor: Callable, batch_size: int = 256
+    images, extractor: Callable, batch_size: int = 256, mesh=None
 ) -> np.ndarray:
-    """Host loop over device-batched extraction; returns (N, D) numpy."""
+    """Host loop over device-batched extraction; returns (N, D) numpy.
+
+    ``mesh``: shard each batch's rows over the mesh's ``data`` axis (the
+    same TPU-native form as the sharded P&R distance computation,
+    ``eval/precision_recall.py``) — GSPMD splits the backbone convolutions
+    across devices, so a v5e-8 runs the FID/P&R feature pass ~8x wider.
+    Row counts are padded to a multiple of the data-axis size with zero
+    images and the padding rows are dropped from the result.
+    """
     out = []
     n = len(images)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data", None, None, None))
+        n_data = mesh.shape["data"]
     for i in range(0, n, batch_size):
         batch = jnp.asarray(images[i : i + batch_size], dtype=jnp.float32)
-        out.append(np.asarray(extractor(batch)))
+        if mesh is None:
+            out.append(np.asarray(extractor(batch)))
+            continue
+        rows = batch.shape[0]
+        pad = (-rows) % n_data
+        if pad:
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((pad, *batch.shape[1:]), batch.dtype)]
+            )
+        batch = jax.device_put(batch, sharding)
+        out.append(np.asarray(extractor(batch))[:rows])
     return np.concatenate(out, axis=0)

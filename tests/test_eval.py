@@ -256,3 +256,21 @@ def test_iwae_bound_tightens_with_more_samples():
     nll_16, _ = neg_log_likelihood(model, variables, [batch], rng, n_attempts=16)
     # Allow small MC noise; the 16-sample bound must not be looser.
     assert nll_16 <= nll_1 + 2.0, (nll_1, nll_16)
+
+
+def test_extract_features_sharded_matches_single():
+    """Mesh-sharded feature extraction equals the single-device result,
+    including the non-divisible-row padding path (8-device CPU mesh)."""
+    import numpy as np
+
+    from nvae_tpu.eval.features import extract_features, get_extractor
+    from nvae_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(21, 32, 32, 1).astype(np.float32)  # 21 % 8 != 0
+    extractor = get_extractor("random_conv")
+    single = extract_features(images, extractor, batch_size=16)
+    mesh = make_mesh(n_data=0)
+    sharded = extract_features(images, extractor, batch_size=16, mesh=mesh)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
