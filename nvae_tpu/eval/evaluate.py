@@ -69,6 +69,7 @@ class ModelEvaluation:
     nll: Optional[Metric]
     sample_metrics: List[Metrics]
     feature_backbone: str = "random_conv"
+    fid_backbone: str = "inception"
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -83,6 +84,7 @@ def evaluate_model(
     temperatures=EVAL_TEMPERATURES,
     fid_sample_size: int = FID_SAMPLE_SIZE,
     feature_backbone: str = "vgg16",
+    fid_backbone: str = "inception",
     seed: int = 0,
     pr_parity_accounting: bool = False,
     pr_parity_orientation: bool = False,
@@ -93,6 +95,14 @@ def evaluate_model(
 ) -> ModelEvaluation:
     """Full evaluation pass.  ``trainer`` provides the model + params
     (anything with ``.model``, ``.state`` and ``.sample_images``).
+
+    The metric suite uses TWO backbones, like the reference: FID features
+    come from ``fid_backbone`` (default InceptionV3 pool_3 — the reference
+    FIDs through the frozen TF-Slim Inception graph,
+    ``evaluate.py:161`` -> ``fid_utils.py:245-316``), while P&R and PPL
+    features come from ``feature_backbone`` (default VGG16 —
+    ``evaluate.py:209``: ``VGG16(include_top=False, pooling='avg')``).
+    Published FID numbers are only comparable on Inception features.
 
     Parity switches (all default to the *corrected* protocol; see PARITY.md):
 
@@ -122,12 +132,17 @@ def evaluate_model(
             else {}
         ),
     }
-    extractor = get_extractor(
-        feature_backbone,
+    extractor_opts = dict(
         input_size=299 if parity_resize_299 else 0,
         resize_method="nearest" if parity_resize_299 else "bilinear",
         input_scaling="unit" if parity_unit_input else "pm1",
     )
+    # P&R/PPL feature space (reference evaluate.py:209, Keras VGG16).
+    extractor = get_extractor(feature_backbone, **extractor_opts)
+    # FID feature space (reference evaluate.py:161 -> fid_utils.py:245-316,
+    # frozen Inception pool_3).  get_extractor is lru_cached, so when both
+    # names coincide this is the same compiled function.
+    fid_extractor = get_extractor(fid_backbone, **extractor_opts)
     rng = jax.random.PRNGKey(seed)
 
     def maybe_quantize(x):
@@ -137,7 +152,7 @@ def evaluate_model(
     test_batches = list(test_iter.epoch(0))
     real_images = np.concatenate([np.asarray(b) for b in test_batches])
     real_feats = extract_features(
-        maybe_quantize(real_images), extractor, mesh=mesh
+        maybe_quantize(real_images), fid_extractor, mesh=mesh
     )
 
     # Per-half real features for the P&R loop, computed ONCE — they do not
@@ -171,7 +186,10 @@ def evaluate_model(
     )
 
     evaluation = ModelEvaluation(
-        nll=None, sample_metrics=[], feature_backbone=feature_backbone
+        nll=None,
+        sample_metrics=[],
+        feature_backbone=feature_backbone,
+        fid_backbone=fid_backbone,
     )
     for t_i, temperature in enumerate(temperatures):
         precisions, recalls, ppls = [], [], []
@@ -222,14 +240,17 @@ def evaluate_model(
             fb = extract_features(np.asarray(img_b), extractor, mesh=mesh)
             ppls.append(ppl_mod.evaluate(fa, fb))
 
-        # FID at this temperature over fid_sample_size samples.
+        # FID at this temperature over fid_sample_size samples (Inception
+        # features by default — the one space published FIDs live in).
         gen_feats = []
         n_batches = max(fid_sample_size // batch_size, 1)
         for b in range(n_batches):
             kk = jax.random.fold_in(rng, 555000 + t_i * 1000 + b)
             gen, *_ = sample(batch_size, temperature, kk)
             gen_feats.append(
-                extract_features(maybe_quantize(gen), extractor, mesh=mesh)
+                extract_features(
+                    maybe_quantize(gen), fid_extractor, mesh=mesh
+                )
             )
         fid = fid_from_features(real_feats, np.concatenate(gen_feats))
 
@@ -258,12 +279,14 @@ def evaluate_fid_against_dir(
     batch_size: int,
     temperature: float,
     sample_size: int = FID_SAMPLE_SIZE,
-    feature_backbone: str = "vgg16",
+    feature_backbone: str = "inception",
 ) -> float:
     """The reference's disk-based FID protocol (``evaluate.py:143-163``):
     real PNGs in ``real_dir``; regenerate ``sample_size`` PNGs into
     ``out_dir``; FID between the two directories — but with feature
-    extraction batched on device instead of a TF1 session."""
+    extraction batched on device instead of a TF1 session.  Default
+    backbone is Inception pool_3, matching the reference's disk FID
+    (``fid_utils.py:245-316``)."""
     from nvae_tpu.utils.images import load_images_from_dir, sample_to_dir
 
     # Clear only previously generated images (the reference clears its own

@@ -186,7 +186,11 @@ def extract_features(
     ``eval/precision_recall.py``) — GSPMD splits the backbone convolutions
     across devices, so a v5e-8 runs the FID/P&R feature pass ~8x wider.
     Row counts are padded to a multiple of the data-axis size with zero
-    images and the padding rows are dropped from the result.
+    images and the padding rows are dropped from the result.  This assumes
+    the extractor is strictly PER-SAMPLE (every backbone here is: conv
+    stacks + per-image pooling) — an extractor with any cross-batch op
+    (e.g. batch-wise feature normalization) would have its real rows
+    perturbed by the zero padding rows.
     """
     out = []
     n = len(images)

@@ -51,6 +51,58 @@ def _knn_radii(features: jax.Array, k: int) -> jax.Array:
     return -neg_topk[:, k]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "col_batch"))
+def _knn_radii_rows(
+    rows: jax.Array, features: jax.Array, k: int, col_batch: int
+) -> jax.Array:
+    """k-NN radii for ``rows`` against the full (sentinel-padded) feature
+    set, streaming over column blocks: a running top-(k+1) smallest-distance
+    buffer is merged with each (R, col_batch) distance tile, so peak memory
+    is O(R * col_batch) instead of O(N^2).  This is the reference's own
+    row/col batching (``precision_recall.py:97-106``) as one XLA scan.
+
+    ``features.shape[0]`` must be a multiple of ``col_batch`` (callers pad
+    with ``_PAD_SENTINEL`` rows, which sit ~1e30 away and never enter a
+    real row's top-k)."""
+    n = features.shape[0]
+    blocks = features.reshape(n // col_batch, col_batch, features.shape[1])
+
+    def body(best, block):
+        d = pairwise_sq_dists(rows, block)  # (R, col_batch)
+        merged = jnp.concatenate([best, d], axis=1)
+        neg_topk, _ = jax.lax.top_k(-merged, k + 1)
+        return -neg_topk, None
+
+    init = jnp.full((rows.shape[0], k + 1), jnp.inf, rows.dtype)
+    best, _ = jax.lax.scan(body, init, blocks)
+    # best is the k+1 smallest distances ascending, self (0) included.
+    return best[:, k]
+
+
+def _knn_radii_batched(
+    features: jax.Array, k: int, row_batch_size: int
+) -> jax.Array:
+    """Host loop over row blocks of ``_knn_radii_rows`` — bounds the radii
+    pass at O(row_batch^2) device memory for any N (the full-matrix
+    ``_knn_radii`` needs O(N^2): 40 GB at N=100k)."""
+    n, d = features.shape
+    col_batch = min(row_batch_size, n)
+    pad = (-n) % col_batch
+    padded = features
+    if pad:
+        padded = jnp.concatenate(
+            [features, jnp.full((pad, d), _PAD_SENTINEL, features.dtype)]
+        )
+    out = []
+    for i in range(0, n, row_batch_size):
+        out.append(
+            _knn_radii_rows(
+                features[i : i + row_batch_size], padded, k, col_batch
+            )
+        )
+    return jnp.concatenate(out)
+
+
 @jax.jit
 def _membership(eval_feats: jax.Array, ref_feats: jax.Array, radii: jax.Array):
     """For each eval sample: does it fall inside any reference hypersphere?
@@ -108,8 +160,14 @@ def knn_precision_recall_features(
 
     state: Dict[str, float] = {}
     for k in nhood_sizes:
-        ref_radii = _knn_radii(ref, k)
-        ev_radii = _knn_radii(ev, k)
+        if mesh is None and max(n_ref, n_ev) > row_batch_size:
+            # Stream the radii pass over row/col blocks — O(row_batch^2)
+            # memory for any N (100k x 100k never materializes).
+            ref_radii = _knn_radii_batched(ref, k, row_batch_size)
+            ev_radii = _knn_radii_batched(ev, k, row_batch_size)
+        else:
+            ref_radii = _knn_radii(ref, k)
+            ev_radii = _knn_radii(ev, k)
         if mesh is not None:
             # Kill the padded hyperspheres; keep radii row-sharded.
             row_ids_ref = jnp.arange(ref.shape[0])
@@ -120,7 +178,9 @@ def knn_precision_recall_features(
             recall = _membership(ref, ev, ev_radii)[:n_ref]
         else:
             # Row-batch the cross matrices to bound memory (the reference's
-            # row/col batching, precision_recall.py:97-106).
+            # row/col batching, precision_recall.py:97-106).  Column dim is
+            # bounded by the other set's size; at 100k that is a 10k x 100k
+            # fp32 tile (~4 GB), within one v5e's HBM.
             def batched_membership(a, b, radii):
                 hits = []
                 for i in range(0, a.shape[0], row_batch_size):

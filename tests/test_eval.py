@@ -75,6 +75,36 @@ class TestPrecisionRecall:
         assert pr["precision"] == pytest.approx(0.0)
         assert pr["recall"] == pytest.approx(0.0)
 
+    def test_batched_radii_match_full_matrix(self):
+        """The streaming top-(k+1) radii pass (row/col blocks, VERDICT r2 #7)
+        must equal the full-matrix path — uneven final blocks included."""
+        from nvae_tpu.eval.precision_recall import (
+            _knn_radii,
+            _knn_radii_batched,
+        )
+
+        rng = np.random.RandomState(7)
+        for n in (64, 70):  # 70: last row AND col block are partial
+            feats = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+            for k in (3, 5):
+                full = np.asarray(_knn_radii(feats, k))
+                batched = np.asarray(_knn_radii_batched(feats, k, 32))
+                np.testing.assert_allclose(batched, full, rtol=1e-5,
+                                           atol=1e-5)
+
+    def test_large_n_takes_batched_path(self):
+        """Above row_batch_size the orchestrator streams the radii; the
+        result must match the in-one-jit small path."""
+        rng = np.random.RandomState(8)
+        real = rng.randn(150, 8).astype(np.float32)
+        gen = rng.randn(130, 8).astype(np.float32) * 0.5
+        small = knn_precision_recall_features(real, gen)
+        streamed = knn_precision_recall_features(
+            real, gen, row_batch_size=64
+        )
+        assert streamed["precision"] == pytest.approx(small["precision"])
+        assert streamed["recall"] == pytest.approx(small["recall"])
+
     def test_subset_relationship(self):
         """Generated ⊂ real manifold: precision high, recall low."""
         rng = np.random.RandomState(6)
