@@ -74,9 +74,12 @@ def parse_args(argv=None):
                    help="projection=SN in optimizer (fast), forward=per-call "
                         "SN (reference parity), penalty=spectral reg (SR "
                         "variant), none")
-    p.add_argument("--compute_dtype", type=str, default="float32",
+    # Default None (not "float32") so a preset's own dtype choice is only
+    # overridden when the flag is explicitly passed (same pattern as
+    # --dataset).
+    p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
-    p.add_argument("--bn_apply_dtype", type=str, default="float32",
+    p.add_argument("--bn_apply_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="BatchNorm normalization-apply dtype (stats stay "
                         "fp32); bfloat16 removes the fp32 islands between "
@@ -92,6 +95,14 @@ def parse_args(argv=None):
     p.add_argument("--temperature_all_groups", action="store_true",
                    help="Apply sampling temperature to every latent group "
                         "(the reference only scales z0)")
+    p.add_argument("--scale_temperatures", nargs="+", type=float,
+                   default=None, metavar="T",
+                   help="Annealed sampling: one temperature per decoder "
+                        "scale, top-down (e.g. 0.6 0.9 for a 2-scale model)."
+                        " In sample mode, writes an extra t_annealed/ "
+                        "directory with this schedule (the multi-scale "
+                        "sampling control SURVEY §7 names for the CelebA "
+                        "config)")
     p.add_argument("--preset", type=str, default="",
                    help="Named experiment preset (see nvae_tpu/presets.py): "
                         "mnist_step_sn | mnist_step_sn_parity | mnist_step_sr "
@@ -119,7 +130,14 @@ def parse_args(argv=None):
                    default=[0.6, 0.8, 1.0])
     p.add_argument("--fid_sample_size", type=int, default=10000)
     p.add_argument("--feature_backbone", type=str, default="vgg16",
-                   choices=["vgg16", "inception", "random_conv"])
+                   choices=["vgg16", "inception", "random_conv"],
+                   help="P&R/PPL feature space (reference evaluate.py:209 "
+                        "uses Keras VGG16)")
+    p.add_argument("--fid_backbone", type=str, default="inception",
+                   choices=["vgg16", "inception", "random_conv"],
+                   help="FID feature space (the reference FIDs with the "
+                        "frozen Inception pool_3 graph, fid_utils.py:245-316"
+                        " — published FIDs are only comparable there)")
     # Metric-protocol parity switches (see PARITY.md "Evaluation parity
     # switches"); --eval_parity turns all of them on at once.
     p.add_argument("--pr_parity_accounting", action="store_true",
@@ -166,8 +184,8 @@ def build_configs(args, bundle):
         sr_lambda=args.sr_lambda,
         likelihood=likelihood,
         spectral_mode=args.spectral_mode,
-        compute_dtype=args.compute_dtype,
-        bn_apply_dtype=args.bn_apply_dtype,
+        compute_dtype=args.compute_dtype or "float32",
+        bn_apply_dtype=args.bn_apply_dtype or "float32",
         temperature_all_groups=args.temperature_all_groups,
         remat=args.remat,
         postprocess_5x5_depthwise=args.postprocess_depthwise,
@@ -224,12 +242,21 @@ def main(argv=None):
         model_cfg, preset_train = get_preset(args.preset)
         # Performance switches compose with presets (same math / same param
         # tree — they are not part of a preset's architecture identity).
+        # Only fields the user explicitly passed override the preset: the
+        # dtype flags default to None, and the store_true flags can only
+        # turn a feature ON (a preset that enables one is never clobbered
+        # back off by an argparse default).
         model_cfg = _dc.replace(
             model_cfg,
-            compute_dtype=args.compute_dtype,
-            bn_apply_dtype=args.bn_apply_dtype,
-            postprocess_5x5_depthwise=args.postprocess_depthwise,
-            use_pallas_kernels=args.use_pallas,
+            compute_dtype=args.compute_dtype or model_cfg.compute_dtype,
+            bn_apply_dtype=args.bn_apply_dtype or model_cfg.bn_apply_dtype,
+            postprocess_5x5_depthwise=(
+                model_cfg.postprocess_5x5_depthwise
+                or args.postprocess_depthwise
+            ),
+            use_pallas_kernels=(
+                model_cfg.use_pallas_kernels or args.use_pallas
+            ),
             remat=model_cfg.remat or args.remat,
         )
         # An explicitly passed --dataset overrides the preset's (e.g.
@@ -264,6 +291,15 @@ def main(argv=None):
         args.dataset = args.dataset or "mnist"
         bundle = load_dataset(args.dataset, args.data_dir)
         model_cfg, train_cfg = build_configs(args, bundle)
+
+    if args.scale_temperatures is not None and len(
+        args.scale_temperatures
+    ) != model_cfg.n_latent_scales:
+        raise SystemExit(
+            f"--scale_temperatures needs one value per decoder scale "
+            f"({model_cfg.n_latent_scales} for this config), got "
+            f"{len(args.scale_temperatures)}"
+        )
 
     mesh = None
     sharding = None
@@ -316,6 +352,7 @@ def main(argv=None):
             temperatures=tuple(args.eval_temperatures),
             fid_sample_size=args.fid_sample_size,
             feature_backbone=args.feature_backbone,
+            fid_backbone=args.fid_backbone,
             pr_parity_accounting=(
                 args.pr_parity_accounting or args.eval_parity
             ),
@@ -345,6 +382,23 @@ def main(argv=None):
                 out_dir,
             )
             print(f"Wrote {n} samples at T={t} to {out_dir}")
+        if args.scale_temperatures:
+            st = tuple(args.scale_temperatures)
+            out_dir = os.path.join(args.sample_dir, "t_annealed")
+            n = sample_to_dir(
+                lambda n_, t_, b: np.asarray(
+                    trainer.sample_images(
+                        n_, t_, scale_temperatures=st
+                    )[0]
+                ),
+                args.batch_size,
+                args.n_samples,
+                1.0,
+                out_dir,
+            )
+            print(
+                f"Wrote {n} annealed samples (per-scale T={st}) to {out_dir}"
+            )
     logger.close()
 
 

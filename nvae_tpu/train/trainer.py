@@ -74,21 +74,38 @@ class Trainer:
     # ---- sampling helpers -------------------------------------------------
 
     def sample_images(
-        self, n: int, temperature: float, rng: Optional[jax.Array] = None
+        self,
+        n: int,
+        temperature: float,
+        rng: Optional[jax.Array] = None,
+        scale_temperatures=None,
     ):
         """Jit-cached unconditional sampling on the current params.
 
         Temperature is traced — one compile per batch size serves every
-        temperature in the sweep.
+        temperature in the sweep.  ``scale_temperatures`` (one value per
+        decoder scale, top-down) selects the annealed-sampling path
+        (``_Decoder.generate``, the CelebA configuration's multi-scale
+        control); the schedule values are traced too, so every schedule
+        shares one compiled program per batch size.
         """
-        if n not in self._sampler_cache:
-            def fn(variables, rng_, t):
-                return self.model.apply(
-                    variables, n, t, rngs={"sample": rng_},
-                    method=NVAE.sample,
-                )
+        annealed = scale_temperatures is not None
+        cache_key = (n, annealed)
+        if cache_key not in self._sampler_cache:
+            if annealed:
+                def fn(variables, rng_, t, st):
+                    return self.model.apply(
+                        variables, n, t, True, st, rngs={"sample": rng_},
+                        method=NVAE.sample,
+                    )
+            else:
+                def fn(variables, rng_, t):
+                    return self.model.apply(
+                        variables, n, t, rngs={"sample": rng_},
+                        method=NVAE.sample,
+                    )
 
-            self._sampler_cache[n] = jax.jit(fn)
+            self._sampler_cache[cache_key] = jax.jit(fn)
         if rng is None:
             rng = jax.random.fold_in(self.state.rng, 7 + int(self.state.step))
         variables = {
@@ -96,9 +113,10 @@ class Trainer:
             "batch_stats": self.state.batch_stats,
             **({"spectral": self.state.spectral} if self.state.spectral else {}),
         }
-        return self._sampler_cache[n](
-            variables, rng, jnp.asarray(temperature, jnp.float32)
-        )
+        args = (variables, rng, jnp.asarray(temperature, jnp.float32))
+        if annealed:
+            args += (jnp.asarray(scale_temperatures, jnp.float32),)
+        return self._sampler_cache[cache_key](*args)
 
     def reconstruct_images(self, batch):
         variables = {

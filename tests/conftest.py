@@ -30,6 +30,14 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute integration tests (full training loops, "
+        "end-to-end eval protocols); deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng0():
     import jax
