@@ -34,13 +34,19 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
                     help="Fewer steps for a fast smoke run")
-    ap.add_argument("--mode", type=str, default="scan_epoch",
-                    choices=["step", "epoch", "scan_epoch", "sample", "pr"],
-                    help="scan_epoch (default): device-resident dataset, one "
-                         "XLA program per epoch — sustained training "
-                         "throughput, no host round-trips; epoch: per-batch "
-                         "host loop incl. input pipeline; step: per-step "
-                         "sync timing (pays tunnel RTT per step)")
+    ap.add_argument("--mode", type=str, default="ladder",
+                    choices=["ladder", "step", "epoch", "scan_epoch",
+                             "sample", "pr"],
+                    help="ladder (default): scan-epoch throughput of the "
+                         "parity fp32 config AND the best trained-validated "
+                         "config (depthwise + bf16 + bf16-BN, the 43x "
+                         "config trained 60 epochs in round 2) — the final "
+                         "JSON line carries the best number with the parity "
+                         "one alongside; scan_epoch: device-resident "
+                         "dataset, one XLA program per epoch for the flag-"
+                         "selected config; epoch: per-batch host loop incl. "
+                         "input pipeline; step: per-step sync timing (pays "
+                         "tunnel RTT per step)")
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--bn_apply_dtype", type=str, default="float32",
@@ -73,12 +79,15 @@ def main():
 
     bs = args.batch_size
     metric_name = {
+        "ladder": f"train_scan_epoch_throughput_mnist_nvae_best_b{bs}",
         "step": f"train_throughput_mnist_nvae_b{bs}",
         "epoch": f"train_epoch_throughput_mnist_nvae_b{bs}",
         "scan_epoch": f"train_scan_epoch_throughput_mnist_nvae_b{bs}",
         "sample": f"sample_throughput_mnist_nvae_b{bs}",
         "pr": "knn_precision_recall_seconds",
     }[args.mode]
+    if args.mode == "ladder" and args.time_budget == 1200:
+        args.time_budget = 2100  # two configs = two full compiles
 
     def _global_alarm(signum, frame):
         log(f"FATAL: global time budget ({args.time_budget}s) expired")
@@ -144,21 +153,107 @@ def main():
         )
         return
 
-    model_cfg = ModelConfig(
-        compute_dtype=args.compute_dtype,
-        bn_apply_dtype=args.bn_apply_dtype,
-        postprocess_5x5_depthwise=args.postprocess_depthwise,
-        use_pallas_kernels=args.use_pallas,
-    )
     train_cfg = TrainConfig(
         batch_size=args.batch_size, step_based_warmup=True
     )
     total_steps = 400 * (60000 // args.batch_size)  # reference-scale schedule
 
-    t0 = time.time()
-    model, state, tx = create_train_state(model_cfg, train_cfg, total_steps)
-    n_params = sum(p.size for p in jax.tree.leaves(state.params))
-    log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
+    def build(model_cfg):
+        t0 = time.time()
+        model, state, tx = create_train_state(
+            model_cfg, train_cfg, total_steps
+        )
+        n_params = sum(p.size for p in jax.tree.leaves(state.params))
+        log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
+        return model, state, tx
+
+    def run_scan_epoch(model_cfg, tag=""):
+        """Sustained scan-epoch throughput for one model config (the
+        device-resident lax.scan training path)."""
+        from nvae_tpu.data import synthetic_dataset
+        from nvae_tpu.train.epoch_runner import (
+            make_epoch_runner,
+            stage_dataset,
+        )
+
+        model, state, tx = build(model_cfg)
+        n_train = 2080 if args.quick else 15000
+        bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
+        steps_per_epoch = n_train // args.batch_size
+        runner = make_epoch_runner(
+            model, tx, train_cfg, total_steps, steps_per_epoch,
+            donate=args.donate,
+        )
+        data = stage_dataset(bundle.train_x)
+        log(f"scan_epoch{tag}: {steps_per_epoch} steps/epoch, "
+            f"device-resident")
+        for e in range(3):
+            t0 = time.time()
+            state, metrics = runner(state, data, jnp.asarray(e))
+            float(metrics["loss"])  # true device sync
+            dt = time.time() - t0
+            n_images = steps_per_epoch * args.batch_size
+            log(f"epoch {e}{tag}: {dt:.2f}s, {n_images / dt:.1f} img/s")
+        return n_images / dt
+
+    if args.mode == "ladder":
+        # Rung 1: the parity fp32 model (architecture- and numerics-faithful
+        # to the reference).  Rung 2: the best trained-validated config —
+        # depthwise postprocess + bf16 compute + bf16 BN apply (43x ladder,
+        # PROFILE.md; trained 60 epochs at 5,527 img/s sustained in round 2).
+        parity = run_scan_epoch(ModelConfig(), tag=" [parity-fp32]")
+        best = run_scan_epoch(
+            ModelConfig(
+                compute_dtype="bfloat16",
+                bn_apply_dtype="bfloat16",
+                postprocess_5x5_depthwise=True,
+            ),
+            tag=" [best dw+bf16+bnbf16]",
+        )
+        log(f"ladder: parity fp32 {parity:.1f} img/s "
+            f"({parity / BASELINE_IMAGES_PER_SEC:.1f}x), best {best:.1f} "
+            f"img/s ({best / BASELINE_IMAGES_PER_SEC:.1f}x)")
+        print(
+            json.dumps(
+                {
+                    "metric": metric_name,
+                    "value": round(best, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": round(
+                        best / BASELINE_IMAGES_PER_SEC, 2
+                    ),
+                    "parity_fp32_value": round(parity, 1),
+                    "parity_fp32_vs_baseline": round(
+                        parity / BASELINE_IMAGES_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
+
+    model_cfg = ModelConfig(
+        compute_dtype=args.compute_dtype or "float32",
+        bn_apply_dtype=args.bn_apply_dtype or "float32",
+        postprocess_5x5_depthwise=args.postprocess_depthwise,
+        use_pallas_kernels=args.use_pallas,
+    )
+    if args.mode == "scan_epoch":
+        images_per_sec = run_scan_epoch(model_cfg)
+        print(
+            json.dumps(
+                {
+                    "metric": metric_name,
+                    "value": round(images_per_sec, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": round(
+                        images_per_sec / BASELINE_IMAGES_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
+
+    model, state, tx = build(model_cfg)
 
     # Donation is on by default (re-validated on the chip in round 2: no
     # stalls over repeated step/epoch runs; the SIGALRM budget still guards
@@ -202,41 +297,6 @@ def main():
                     "value": round(images_per_sec, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
-                }
-            )
-        )
-        return
-
-    if args.mode == "scan_epoch":
-        from nvae_tpu.data import synthetic_dataset
-        from nvae_tpu.train.epoch_runner import make_epoch_runner, stage_dataset
-
-        n_train = 2080 if args.quick else 15000
-        bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
-        steps_per_epoch = n_train // args.batch_size
-        runner = make_epoch_runner(
-            model, tx, train_cfg, total_steps, steps_per_epoch,
-            donate=args.donate,
-        )
-        data = stage_dataset(bundle.train_x)
-        log(f"scan_epoch mode: {steps_per_epoch} steps/epoch, device-resident")
-        for e in range(3):
-            t0 = time.time()
-            state, metrics = runner(state, data, jnp.asarray(e))
-            loss = float(metrics["loss"])  # true device sync
-            dt = time.time() - t0
-            n_images = steps_per_epoch * args.batch_size
-            log(f"epoch {e}: {dt:.2f}s, {n_images / dt:.1f} img/s")
-        images_per_sec = n_images / dt
-        print(
-            json.dumps(
-                {
-                    "metric": metric_name,
-                    "value": round(images_per_sec, 1),
-                    "unit": "images/sec",
-                    "vs_baseline": round(
-                        images_per_sec / BASELINE_IMAGES_PER_SEC, 2
-                    ),
                 }
             )
         )

@@ -35,6 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_FALLBACK_LOGGED = False  # one-time notice when the VMEM guard trips
+
+
 def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -342,10 +345,23 @@ def fused_swish_depthwise5x5(
     # Feasibility: if even a one-row batch tile cannot satisfy the scoped-
     # VMEM budget (large spatial extents, e.g. 64x64 at wide channels), the
     # kernels cannot compile — fall back to the numerically identical XLA
-    # composition instead of erroring.
+    # composition instead of erroring.  The VJP's accumulators are the worst
+    # case: ~11 tile-sized live copies with the fused swish (the extra
+    # pre-activation tile and its recompute), ~8 without.
     lane_c = max(_pick_c_block(c), 128)
     row_bytes = 4 * (h + k - 1) * (w + k - 1) * lane_c
-    if row_bytes * 11 > 12 * 1024 * 1024:
+    copies = 11 if fuse_swish else 8
+    if row_bytes * copies > 12 * 1024 * 1024:
+        global _FALLBACK_LOGGED
+        if not _FALLBACK_LOGGED:
+            _FALLBACK_LOGGED = True
+            print(
+                f"[nvae_tpu.kernels] depthwise5x5 Pallas kernel infeasible "
+                f"for shape {x.shape} (tile {row_bytes * copies / 2**20:.1f}"
+                f" MB > 12 MB VMEM budget) — using the XLA composition. "
+                f"Benchmarks under use_pallas measure XLA for this shape.",
+                flush=True,
+            )
         s = jax.nn.silu(x) if fuse_swish else x
         y = depthwise_conv5x5_reference(s, kernel)
         return y + bias if bias is not None else y

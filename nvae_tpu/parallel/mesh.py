@@ -38,7 +38,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_state(state, mesh: Mesh):
-    """Replicate the train state across the mesh (DP layout)."""
+    """Replicate the train state across the mesh (DP layout).
+
+    Requires a data-only mesh (``model`` axis of size 1).  Measured GSPMD
+    miscompile otherwise (jax 0.8 CPU backend): with params fully
+    replicated on a ("data">1, "model">1) mesh, the grouped-convolution
+    gradient (depthwise 5x5, ``batch_group_count`` lowering) double-counts
+    across the model axis — caught by the SGD lockstep in
+    ``__graft_entry__._sgd_lockstep`` (grad_norm 389 vs 292 on an
+    otherwise bit-identical step; every other grad leaf at 1e-8 noise).
+    For DP+TP meshes use :func:`shard_state_tp`, whose layout compiles
+    correctly.
+    """
+    if mesh.shape.get("model", 1) > 1:
+        raise ValueError(
+            "shard_state is the pure-DP layout; this mesh has a model axis "
+            f"of size {mesh.shape['model']}. Use shard_state_tp (replicated "
+            "params over a >1 model axis miscompile the grouped-conv "
+            "gradient — see docstring)."
+        )
     return jax.device_put(state, replicated(mesh))
 
 

@@ -230,14 +230,23 @@ class Trainer:
                     from nvae_tpu.train.step import make_eval_step
 
                     self._eval_fn = make_eval_step(self.model, tc)
-                test_batch = next(iter(test_iter.epoch(0)))
-                em = self._eval_fn(
-                    self.state, test_batch,
-                    jax.random.fold_in(self.state.rng, 13 + epoch),
-                )
+                # Average over the FULL held-out set (a single batch is
+                # noise at batch-size granularity; the proper loop costs
+                # one jitted forward per test batch every N epochs).
+                agg_e, n_e = {}, 0
+                for b_i, test_batch in enumerate(test_iter.epoch(0)):
+                    em = self._eval_fn(
+                        self.state, test_batch,
+                        jax.random.fold_in(
+                            self.state.rng, 13 + epoch * 1000 + b_i
+                        ),
+                    )
+                    n_e += 1
+                    for k, v in em.items():
+                        agg_e[k] = agg_e.get(k, 0.0) + float(np.asarray(v))
                 self.logger.scalars(
                     epoch,
-                    {k: float(np.asarray(v)) for k, v in em.items()},
+                    {k: v / max(n_e, 1) for k, v in agg_e.items()},
                     prefix="test/",
                 )
 
