@@ -111,6 +111,37 @@ def _membership(eval_feats: jax.Array, ref_feats: jax.Array, radii: jax.Array):
     return jnp.any(d <= radii[None, :], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("col_batch",))
+def _membership_rows(
+    rows: jax.Array, ref_feats: jax.Array, radii: jax.Array, col_batch: int
+) -> jax.Array:
+    """Column-streamed membership: OR-accumulate ``any(d <= radius)`` over
+    (R, col_batch) distance tiles instead of materializing the full (R, N)
+    matrix — O(R * col_batch) memory at any reference-set size (the
+    membership-side complement of ``_knn_radii_rows``; at N=1M the full
+    tile would be 40 GB per 10k row block).
+
+    ``ref_feats.shape[0]`` must be a multiple of ``col_batch`` (callers pad
+    with ``_PAD_SENTINEL`` rows whose radii are <0, so they never admit a
+    sample).  A Pallas kernel was considered and skipped: the pass is
+    MXU-matmul-bound (the D-deep cross product dwarfs the fused
+    compare/reduce epilogue), so XLA's fusion already runs it at
+    speed-of-light — same conclusion as the in-model kernels
+    (PROFILE.md finding 4)."""
+    n = ref_feats.shape[0]
+    blocks = ref_feats.reshape(n // col_batch, col_batch, ref_feats.shape[1])
+    radii_blocks = radii.reshape(n // col_batch, col_batch)
+
+    def body(inside, block_and_radii):
+        block, r = block_and_radii
+        d = pairwise_sq_dists(rows, block)  # (R, col_batch)
+        return inside | jnp.any(d <= r[None, :], axis=1), None
+
+    init = jnp.zeros((rows.shape[0],), jnp.bool_)
+    inside, _ = jax.lax.scan(body, init, (blocks, radii_blocks))
+    return inside
+
+
 def _pad_rows_sharded(x: jax.Array, mesh: Mesh):
     """Pad rows to a multiple of the data-axis size (NamedSharding needs
     even splits) with a far-away sentinel, then shard rows over ``data``.
@@ -178,14 +209,33 @@ def knn_precision_recall_features(
             recall = _membership(ref, ev, ev_radii)[:n_ref]
         else:
             # Row-batch the cross matrices to bound memory (the reference's
-            # row/col batching, precision_recall.py:97-106).  Column dim is
-            # bounded by the other set's size; at 100k that is a 10k x 100k
-            # fp32 tile (~4 GB), within one v5e's HBM.
+            # row/col batching, precision_recall.py:97-106).  Above
+            # row_batch_size columns the inner pass streams column blocks
+            # too (_membership_rows), so peak memory is O(row_batch^2) at
+            # any N — 1M x 1M never materializes anything bigger than one
+            # 10k x 10k tile.
             def batched_membership(a, b, radii):
+                nb, d_feat = b.shape
+                stream_cols = nb > row_batch_size
+                if stream_cols:
+                    col_batch = min(row_batch_size, nb)
+                    pad = (-nb) % col_batch
+                    if pad:
+                        b = jnp.concatenate(
+                            [b, jnp.full((pad, d_feat), _PAD_SENTINEL,
+                                         b.dtype)]
+                        )
+                        # Sentinel hyperspheres must admit nobody.
+                        radii = jnp.concatenate(
+                            [radii, jnp.full((pad,), -1.0, radii.dtype)]
+                        )
                 hits = []
                 for i in range(0, a.shape[0], row_batch_size):
+                    rows = a[i : i + row_batch_size]
                     hits.append(
-                        _membership(a[i : i + row_batch_size], b, radii)
+                        _membership_rows(rows, b, radii, col_batch)
+                        if stream_cols
+                        else _membership(rows, b, radii)
                     )
                 return jnp.concatenate(hits)
 

@@ -92,6 +92,22 @@ class TestPrecisionRecall:
                 np.testing.assert_allclose(batched, full, rtol=1e-5,
                                            atol=1e-5)
 
+    def test_streamed_membership_matches_full_matrix(self):
+        """The column-streamed membership pass (OR-accumulated tiles; the
+        1M-scale memory bound) must equal the full-matrix membership."""
+        from nvae_tpu.eval.precision_recall import (
+            _membership,
+            _membership_rows,
+        )
+
+        rng = np.random.RandomState(9)
+        ref = jnp.asarray(rng.randn(96, 16).astype(np.float32))
+        ev = jnp.asarray(rng.randn(40, 16).astype(np.float32))
+        radii = jnp.asarray(rng.rand(96).astype(np.float32) * 20.0)
+        full = np.asarray(_membership(ev, ref, radii))
+        streamed = np.asarray(_membership_rows(ev, ref, radii, 32))
+        np.testing.assert_array_equal(streamed, full)
+
     def test_large_n_takes_batched_path(self):
         """Above row_batch_size the orchestrator streams the radii; the
         result must match the in-one-jit small path."""
