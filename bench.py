@@ -115,7 +115,11 @@ def main():
     from nvae_tpu.config import ModelConfig, TrainConfig
     from nvae_tpu.train.state import create_train_state
     from nvae_tpu.train.step import make_train_step
+    from nvae_tpu.utils.compile_cache import enable_compile_cache
 
+    cache = enable_compile_cache()
+    if cache:
+        log(f"compile cache: {cache}")
     log(f"devices: {jax.devices()}")
 
     if args.mode == "pr":

@@ -232,7 +232,10 @@ def main(argv=None):
     from nvae_tpu.data import load_dataset, make_iterators
     from nvae_tpu.parallel import data_sharding, make_mesh
     from nvae_tpu.train.trainer import Trainer
+    from nvae_tpu.utils.compile_cache import enable_compile_cache
     from nvae_tpu.utils.logging import MetricsLogger
+
+    enable_compile_cache()
 
     if args.preset:
         import dataclasses as _dc

@@ -27,6 +27,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by XLA
+# compiles of whole-model programs on the 1-core host; with the cache warm
+# a full run drops from ~64 min to the actual compute.  Keyed by HLO +
+# flags + jaxlib fingerprint, so code changes miss cleanly.  Opt out with
+# NVAE_TPU_COMPILE_CACHE=0.
+from nvae_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import pytest  # noqa: E402
 
 

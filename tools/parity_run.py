@@ -58,6 +58,9 @@ def main():
     import numpy as np
 
     from nvae_tpu.data import load_dataset, make_iterators
+    from nvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from nvae_tpu.eval.nll import neg_log_likelihood
     from nvae_tpu.presets import get_preset
     from nvae_tpu.train.trainer import Trainer

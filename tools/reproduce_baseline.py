@@ -114,6 +114,9 @@ def main():
     import numpy as np
 
     from nvae_tpu.data import load_dataset, make_iterators, synthetic_dataset
+    from nvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from nvae_tpu.eval.evaluate import evaluate_model
     from nvae_tpu.presets import get_preset
     from nvae_tpu.train.trainer import Trainer
