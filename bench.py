@@ -78,8 +78,9 @@ def main():
     import signal
 
     bs = args.batch_size
+    ladder_peak_bs = 2 * bs  # measured saturation for the best config (b288)
     metric_name = {
-        "ladder": f"train_scan_epoch_throughput_mnist_nvae_best_b{bs}",
+        "ladder": f"train_scan_epoch_throughput_mnist_nvae_best_b{ladder_peak_bs}",
         "step": f"train_throughput_mnist_nvae_b{bs}",
         "epoch": f"train_epoch_throughput_mnist_nvae_b{bs}",
         "scan_epoch": f"train_scan_epoch_throughput_mnist_nvae_b{bs}",
@@ -87,7 +88,8 @@ def main():
         "pr": "knn_precision_recall_seconds",
     }[args.mode]
     if args.mode == "ladder" and args.time_budget == 1200:
-        args.time_budget = 2100  # two configs = two full compiles
+        args.time_budget = 2700  # three configs = three full compiles
+        # (warm persistent-cache reruns deserialize in ~20 s per config)
 
     def _global_alarm(signum, frame):
         log(f"FATAL: global time budget ({args.time_budget}s) expired")
@@ -162,16 +164,16 @@ def main():
     )
     total_steps = 400 * (60000 // args.batch_size)  # reference-scale schedule
 
-    def build(model_cfg):
+    def build(model_cfg, tcfg=None, tsteps=None):
         t0 = time.time()
         model, state, tx = create_train_state(
-            model_cfg, train_cfg, total_steps
+            model_cfg, tcfg or train_cfg, tsteps or total_steps
         )
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
         log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
         return model, state, tx
 
-    def run_scan_epoch(model_cfg, tag=""):
+    def run_scan_epoch(model_cfg, tag="", bs=None):
         """Sustained scan-epoch throughput for one model config (the
         device-resident lax.scan training path)."""
         from nvae_tpu.data import synthetic_dataset
@@ -180,23 +182,26 @@ def main():
             stage_dataset,
         )
 
-        model, state, tx = build(model_cfg)
-        n_train = 2080 if args.quick else 15000
-        bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
-        steps_per_epoch = n_train // args.batch_size
+        bs = bs or args.batch_size
+        tcfg = TrainConfig(batch_size=bs, step_based_warmup=True)
+        tsteps = 400 * (60000 // bs)
+        model, state, tx = build(model_cfg, tcfg, tsteps)
+        n_train = (2080 if args.quick else 15000) // bs * bs
+        bundle = synthetic_dataset(n_train=n_train, n_test=bs)
+        steps_per_epoch = n_train // bs
         runner = make_epoch_runner(
-            model, tx, train_cfg, total_steps, steps_per_epoch,
+            model, tx, tcfg, tsteps, steps_per_epoch,
             donate=args.donate,
         )
         data = stage_dataset(bundle.train_x)
-        log(f"scan_epoch{tag}: {steps_per_epoch} steps/epoch, "
+        log(f"scan_epoch{tag}: {steps_per_epoch} steps/epoch b{bs}, "
             f"device-resident")
         for e in range(3):
             t0 = time.time()
             state, metrics = runner(state, data, jnp.asarray(e))
             float(metrics["loss"])  # true device sync
             dt = time.time() - t0
-            n_images = steps_per_epoch * args.batch_size
+            n_images = steps_per_epoch * bs
             log(f"epoch {e}{tag}: {dt:.2f}s, {n_images / dt:.1f} img/s")
         return n_images / dt
 
@@ -205,25 +210,37 @@ def main():
         # to the reference).  Rung 2: the best trained-validated config —
         # depthwise postprocess + bf16 compute + bf16 BN apply (43x ladder,
         # PROFILE.md; trained 60 epochs at 5,527 img/s sustained in round 2).
+        best_cfg = ModelConfig(
+            compute_dtype="bfloat16",
+            bn_apply_dtype="bfloat16",
+            postprocess_5x5_depthwise=True,
+        )
         parity = run_scan_epoch(ModelConfig(), tag=" [parity-fp32]")
-        best = run_scan_epoch(
-            ModelConfig(
-                compute_dtype="bfloat16",
-                bn_apply_dtype="bfloat16",
-                postprocess_5x5_depthwise=True,
-            ),
-            tag=" [best dw+bf16+bnbf16]",
+        best = run_scan_epoch(best_cfg, tag=" [best dw+bf16+bnbf16]")
+        # Rung 3: the same best config at its measured saturation batch
+        # (2x the reference's 144; b576 regresses — HBM working-set bound).
+        peak = run_scan_epoch(
+            best_cfg, tag=f" [best b{ladder_peak_bs}]", bs=ladder_peak_bs
         )
         log(f"ladder: parity fp32 {parity:.1f} img/s "
-            f"({parity / BASELINE_IMAGES_PER_SEC:.1f}x), best {best:.1f} "
-            f"img/s ({best / BASELINE_IMAGES_PER_SEC:.1f}x)")
+            f"({parity / BASELINE_IMAGES_PER_SEC:.1f}x), best b{bs} "
+            f"{best:.1f} img/s ({best / BASELINE_IMAGES_PER_SEC:.1f}x), "
+            f"peak b{ladder_peak_bs} {peak:.1f} img/s "
+            f"({peak / BASELINE_IMAGES_PER_SEC:.1f}x)")
+        final = max(best, peak)
+        final_bs = ladder_peak_bs if peak >= best else bs
         print(
             json.dumps(
                 {
-                    "metric": metric_name,
-                    "value": round(best, 1),
+                    "metric": ("train_scan_epoch_throughput_mnist_nvae_"
+                               f"best_b{final_bs}"),
+                    "value": round(final, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(
+                        final / BASELINE_IMAGES_PER_SEC, 2
+                    ),
+                    f"best_b{bs}_value": round(best, 1),
+                    f"best_b{bs}_vs_baseline": round(
                         best / BASELINE_IMAGES_PER_SEC, 2
                     ),
                     "parity_fp32_value": round(parity, 1),
