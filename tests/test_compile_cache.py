@@ -28,10 +28,16 @@ def test_env_opt_out(monkeypatch):
 
 def test_cache_populates_on_slow_compile(tmp_path, monkeypatch):
     # A fresh directory + zeroed thresholds: any jit compile must persist.
+    # JAX binds its cache object to the directory lazily ONCE; in a full
+    # suite run earlier compiles have already bound it to the default dir,
+    # so the redirect only takes effect after a reset_cache().
+    from jax._src import compilation_cache as cc
+
     prior_dir = jax.config.jax_compilation_cache_dir
     monkeypatch.setattr(compile_cache, "_ENABLED_DIR", None)
     d = compile_cache.enable_compile_cache(str(tmp_path / "xla"))
     assert d is not None
+    cc.reset_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     try:
@@ -43,3 +49,4 @@ def test_cache_populates_on_slow_compile(tmp_path, monkeypatch):
         # this test; later compiles must not write into a dead directory).
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_compilation_cache_dir", prior_dir)
+        cc.reset_cache()
