@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--no_donate", dest="donate", action="store_false",
                     help="Copy the state every step/epoch instead of "
                          "donating (the round-1 tunnel-stall workaround)")
+    ap.add_argument("--pr_n", type=int, default=None,
+                    help="P&R mode: rows per feature set (default 10000; "
+                         "the streamed passes bound memory at any N)")
+    ap.add_argument("--pr_dim", type=int, default=512,
+                    help="P&R mode: feature dimensionality (512 = VGG16 "
+                         "pooled, 2048 = Inception pool_3)")
     ap.add_argument("--time_budget", type=int, default=1200,
                     help="Hard wall-clock budget (s); on expiry the JSON line "
                          "is emitted with value 0 so callers never hang")
@@ -87,6 +93,12 @@ def main():
         "sample": f"sample_throughput_mnist_nvae_b{bs}",
         "pr": "knn_precision_recall_seconds",
     }[args.mode]
+    if args.mode == "pr" and args.pr_n and args.time_budget == 1200:
+        # Scale the budget with the O(N^2) work (two full passes: compile
+        # + timed), relative to the measured 10k baseline.
+        args.time_budget = max(
+            1200, min(7200, int((args.pr_n / 10000) ** 2 * 30))
+        )
     if args.mode == "ladder" and args.time_budget == 1200:
         args.time_budget = 2700  # three configs = three full compiles
         # (warm persistent-cache reruns deserialize in ~20 s per config)
@@ -134,10 +146,24 @@ def main():
             knn_precision_recall_features,
         )
 
-        n = 2000 if args.quick else 10000
+        n = args.pr_n or (2000 if args.quick else 10000)
+        d_feat = args.pr_dim
         rng_np = np.random.RandomState(0)
-        real = rng_np.randn(n, 512).astype(np.float32)
-        gen = (rng_np.randn(n, 512) * 0.9 + 0.1).astype(np.float32)
+        # Generate in 100k-row chunks: randn materializes float64 first,
+        # which at 1M x 2048 would be a 16 GB temporary.
+        def _chunked_randn(n_rows, scale=1.0, shift=0.0):
+            outs = []
+            for i in range(0, n_rows, 100_000):
+                m = min(100_000, n_rows - i)
+                outs.append(
+                    (rng_np.randn(m, d_feat) * scale + shift).astype(
+                        np.float32
+                    )
+                )
+            return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+        real = _chunked_randn(n)
+        gen = _chunked_randn(n, 0.9, 0.1)
         t0 = time.time()
         pr = knn_precision_recall_features(real, gen)  # includes compiles
         log(f"P&R compile+run: {time.time() - t0:.1f}s -> {pr}")
