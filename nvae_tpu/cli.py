@@ -88,6 +88,10 @@ def parse_args(argv=None):
                    help="bernoulli|dml; default picks by dataset")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="Devices on the data mesh axis (0 = all)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="Shard params + Adamax moments 1/N over the data "
+                        "axis (ZeRO-3 layout) instead of replicating — for "
+                        "configs that outgrow one chip's HBM")
     p.add_argument("--profile_dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
     p.add_argument("--parity_binarize_255", action="store_true",
@@ -116,6 +120,10 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize residual cells (activation-memory "
                         "saver for deep/high-res configs)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="Microbatches per optimizer step (gradient "
+                        "accumulation inside the jitted step; activation "
+                        "memory scales with batch_size/grad_accum)")
     p.add_argument("--postprocess_depthwise", action="store_true",
                    help="Depthwise postprocess 5x5 (the form the reference "
                         "intended but left commented out, postprocess.py:76; "
@@ -213,6 +221,7 @@ def build_configs(args, bundle):
         tensorboard_log_dir=args.tensorboard_log_dir,
         data_dir=args.data_dir,
         scan_epochs=args.scan_epochs,
+        grad_accum=args.grad_accum,
         data_parallel=args.data_parallel,
     )
     return model_cfg, train_cfg
@@ -228,6 +237,18 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     import jax
+
+    # Plugin sitecustomize files (e.g. the axon TPU tunnel) force-set
+    # jax_platforms at import, silently overriding the JAX_PLATFORMS env
+    # var — re-assert the caller's explicit non-plugin choice so --cpu and
+    # JAX_PLATFORMS=cpu actually land on CPU (same fix as
+    # __graft_entry__._honor_env_platform).
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
 
     from nvae_tpu.data import load_dataset, make_iterators
     from nvae_tpu.parallel import data_sharding, make_mesh
@@ -286,6 +307,7 @@ def main(argv=None):
             tensorboard_log_dir=args.tensorboard_log_dir,
             data_dir=args.data_dir,
             scan_epochs=args.scan_epochs,
+            grad_accum=args.grad_accum,
             data_parallel=args.data_parallel,
         )
         args.dataset = train_cfg.dataset
@@ -330,6 +352,8 @@ def main(argv=None):
     trainer = Trainer(
         model_cfg, train_cfg, steps_per_epoch=len(train_iter), mesh=mesh,
         logger=logger,
+        param_sharding="fsdp" if (args.fsdp and mesh is not None) else
+        "replicated",
     )
 
     if args.mode == "train":

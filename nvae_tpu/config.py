@@ -241,6 +241,11 @@ class TrainConfig:
     # dataset; zero host round-trips between steps). Requires the training
     # set to fit in HBM as uint8 — true at reference scale.
     scan_epochs: bool = False
+    # Gradient accumulation: split each batch into N microbatches inside the
+    # jitted step (lax.scan) — activation memory scales with the microbatch,
+    # the optimizer sees the mean full-batch gradient.  Per-step path only
+    # (incompatible with scan_epochs, which keeps the reference step shape).
+    grad_accum: int = 1
     # Parallelism: number of devices on the data axis (0 = all available).
     data_parallel: int = 0
     # Mesh axis sizes for (data, model); model axis reserved for future TP.

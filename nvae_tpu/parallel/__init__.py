@@ -1,9 +1,11 @@
 from nvae_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
+    fsdp_sharding,
     make_mesh,
     replicated,
     shard_batch,
     shard_state,
+    shard_state_fsdp,
     shard_state_tp,
     tp_param_sharding,
 )

@@ -107,5 +107,82 @@ def shard_state_tp(state, mesh: Mesh, min_features: int = 512):
     )
 
 
+def _fsdp_spec(shape, n_shard: int, min_size: int):
+    """Shape-based FSDP spec: shard the largest ``data``-divisible dim.
+
+    Pure function of the leaf shape, so applying it independently to
+    ``params`` and to the optimizer moments (which are param-congruent
+    trees) yields IDENTICAL layouts — the elementwise Adamax update then
+    compiles shard-local with no resharding.  Leaves below ``min_size``
+    elements (biases, BN scales, 1-D spectral ``u`` vectors) stay
+    replicated: sharding them saves nothing and adds collectives.
+    """
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    cands = [i for i, d in enumerate(shape) if d % n_shard == 0 and d >= n_shard]
+    if not cands:
+        return P()
+    # Largest dim wins; tie-break toward the trailing (feature/lane) dim.
+    best = max(cands, key=lambda i: (shape[i], i))
+    spec = [None] * len(shape)
+    spec[best] = "data"
+    return P(*spec)
+
+
+def fsdp_sharding(tree, mesh: Mesh, min_size: int = 65536):
+    """Pytree of NamedShardings for the FSDP (ZeRO-3) layout.
+
+    Every array leaf with >= ``min_size`` elements is split along its
+    largest ``data``-divisible dimension across the ``data`` axis;
+    everything else is replicated.  The reference has no counterpart
+    (single-device, SURVEY §2.7); this is the TPU-native way to fit
+    models/optimizer state beyond one chip's HBM: XLA/GSPMD inserts the
+    per-layer all-gathers in forward/backward and reduce-scatters the
+    gradients back to the shards — weights, Adamax moments, and gradients
+    are all 1/N per device.
+    """
+    n = mesh.shape["data"]
+
+    def leaf_sharding(leaf):
+        return NamedSharding(
+            mesh, _fsdp_spec(getattr(leaf, "shape", ()), n, min_size)
+        )
+
+    return jax.tree.map(leaf_sharding, tree)
+
+
+def shard_state_fsdp(state, mesh: Mesh, min_size: int = 65536):
+    """FSDP layout for the full train state: params AND optimizer state
+    (Adamax mu/nu, spectral u/sigma) sharded over ``data``; small leaves
+    (BN stats, per-forward spectral vectors, counters, RNG) replicated.
+
+    Requires a data-only mesh, like :func:`shard_state` (the model axis
+    belongs to :func:`shard_state_tp`; see the miscompile note there).
+    Validated by the SGD lockstep in ``__graft_entry__`` and
+    ``tests/test_parallel.py`` — every step must match single-device to
+    fp32 reduction-order noise.
+    """
+    if mesh.shape.get("model", 1) > 1:
+        raise ValueError(
+            "shard_state_fsdp shards over the data axis only; this mesh has "
+            f"a model axis of size {mesh.shape['model']}. Compose TP via "
+            "shard_state_tp instead."
+        )
+    rest = replicated(mesh)
+    return state.replace(
+        params=jax.device_put(
+            state.params, fsdp_sharding(state.params, mesh, min_size)
+        ),
+        opt_state=jax.device_put(
+            state.opt_state, fsdp_sharding(state.opt_state, mesh, min_size)
+        ),
+        step=jax.device_put(state.step, rest),
+        epoch=jax.device_put(state.epoch, rest),
+        batch_stats=jax.device_put(state.batch_stats, rest),
+        spectral=jax.device_put(state.spectral, rest),
+        rng=jax.device_put(state.rng, rest),
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, data_sharding(mesh))

@@ -38,6 +38,7 @@ def make_train_step(
     """
     model_cfg: ModelConfig = model.cfg
     total_epochs = max(total_steps // max(steps_per_epoch, 1), 1)
+    grad_accum = max(int(getattr(train_cfg, "grad_accum", 1)), 1)
 
     def step_fn(state: TrainState, batch: jax.Array) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(state.rng, state.step)
@@ -55,20 +56,20 @@ def make_train_step(
             sn_state = find_spectral_state(state.opt_state)
             sn_u = sn_state.u if sn_state is not None else None
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def loss_fn(params, mb, bstats, spect, rng_mb):
+            variables = {"params": params, "batch_stats": bstats}
             mutable = ["batch_stats"]
-            if state.spectral:
-                variables["spectral"] = state.spectral
+            if spect:
+                variables["spectral"] = spect
                 mutable.append("spectral")
             out, mutated = model.apply(
                 variables,
-                batch,
+                mb,
                 True,  # train
-                rngs={"sample": rng},
+                rngs={"sample": rng_mb},
                 mutable=mutable,
             )
-            loss, metrics = losses.elbo_loss(out, batch, beta, model_cfg)
+            loss, metrics = losses.elbo_loss(out, mb, beta, model_cfg)
             bn_loss = losses.bn_gamma_penalty(params, model_cfg.sr_lambda)
             loss = loss + bn_loss
             metrics["bn_loss"] = bn_loss
@@ -78,9 +79,54 @@ def make_train_step(
                 metrics["spectral_loss"] = sr
             return loss, (metrics, mutated)
 
-        (loss, (metrics, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if grad_accum == 1:
+            (loss, (metrics, mutated)), grads = grad_fn(
+                state.params, batch, state.batch_stats, state.spectral, rng
+            )
+            new_bstats = mutated.get("batch_stats", state.batch_stats)
+            new_spect = mutated.get("spectral", state.spectral)
+        else:
+            # Gradient accumulation: lax.scan over `grad_accum` microbatches
+            # — activation memory scales with the MICRObatch while the
+            # optimizer sees the mean gradient of the full batch (one Adamax
+            # update per step, identical schedules).  BatchNorm normalizes
+            # per microbatch (standard accumulation semantics) and its
+            # running stats chain through the scan carry, as does the
+            # per-forward spectral state in parity mode.  Each microbatch
+            # folds its index into the step RNG for independent Bernoulli
+            # binarization/sampling noise.
+            if batch.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch size {batch.shape[0]} not divisible by "
+                    f"grad_accum {grad_accum}"
+                )
+            mbs = batch.reshape(
+                grad_accum, batch.shape[0] // grad_accum, *batch.shape[1:]
+            )
+
+            def body(carry, xs):
+                bstats, spect = carry
+                i, mb = xs
+                (l_i, (m_i, mut)), g_i = grad_fn(
+                    state.params, mb, bstats, spect,
+                    jax.random.fold_in(rng, i),
+                )
+                return (
+                    mut.get("batch_stats", bstats),
+                    mut.get("spectral", spect),
+                ), (l_i, m_i, g_i)
+
+            (new_bstats, new_spect), (ls, ms, gs) = jax.lax.scan(
+                body,
+                (state.batch_stats, state.spectral),
+                (jnp.arange(grad_accum), mbs),
+            )
+            loss = jnp.mean(ls)
+            metrics = jax.tree.map(jnp.mean, ms)
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gs)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss
@@ -89,8 +135,8 @@ def make_train_step(
             step=state.step + 1,
             epoch=epoch,
             params=new_params,
-            batch_stats=mutated.get("batch_stats", state.batch_stats),
-            spectral=mutated.get("spectral", state.spectral),
+            batch_stats=new_bstats,
+            spectral=new_spect,
             opt_state=new_opt_state,
         )
         return new_state, metrics

@@ -49,20 +49,39 @@ class Trainer:
         steps_per_epoch: int,
         mesh=None,
         logger: Optional[MetricsLogger] = None,
+        param_sharding: str = "replicated",
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.steps_per_epoch = steps_per_epoch
         self.total_steps = steps_per_epoch * train_cfg.epochs
+        if train_cfg.scan_epochs and train_cfg.grad_accum > 1:
+            raise ValueError(
+                "grad_accum > 1 is the per-step path; scan_epochs keeps the "
+                "reference's one-forward-per-step shape. Pick one."
+            )
         self.mesh = mesh
         self.logger = logger
         self.model, self.state, self.tx = create_train_state(
             model_cfg, train_cfg, self.total_steps
         )
         if mesh is not None:
-            from nvae_tpu.parallel import shard_state
+            # "replicated" = plain DP (params everywhere); "fsdp" = params +
+            # optimizer moments split 1/N over the data axis (ZeRO-3 layout,
+            # parallel/mesh.py) for configs that outgrow one chip's HBM.
+            if param_sharding == "fsdp":
+                from nvae_tpu.parallel import shard_state_fsdp
 
-            self.state = shard_state(self.state, mesh)
+                self.state = shard_state_fsdp(self.state, mesh)
+            elif param_sharding == "replicated":
+                from nvae_tpu.parallel import shard_state
+
+                self.state = shard_state(self.state, mesh)
+            else:
+                raise ValueError(
+                    f"param_sharding must be 'replicated' or 'fsdp', "
+                    f"got {param_sharding!r}"
+                )
         self.step_fn = make_train_step(
             self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch
         )

@@ -185,3 +185,104 @@ def test_bn_bf16_apply_matches_fp32_trajectory():
     np.testing.assert_allclose(
         trajectories["bfloat16"], trajectories["float32"], rtol=2e-3
     )
+
+
+def test_grad_accum_matches_manual_microbatch_average():
+    """grad_accum=2 under linear SGD: the param update must equal
+    -lr * mean(per-microbatch grads) with the microbatch grads computed
+    manually through the same public loss pieces (losses.elbo_loss +
+    bn_gamma_penalty, chained BN/spectral mutations, per-microbatch RNG
+    fold) — an exact end-to-end check of the lax.scan accumulation."""
+    import optax
+
+    from nvae_tpu.train import losses
+
+    model_cfg = debug_config()
+    tc = TrainConfig(
+        epochs=1, batch_size=8, step_based_warmup=True, grad_accum=2
+    )
+    model, s0, _ = create_train_state(model_cfg, tc, total_steps=4)
+    lr = 1e-3
+    tx = optax.sgd(lr)
+    s0 = s0.replace(opt_state=tx.init(s0.params))
+    step = make_train_step(model, tx, tc, 4, 4, donate=False)
+    batch = (
+        jax.random.uniform(jax.random.PRNGKey(11), (8, 32, 32, 1)) > 0.5
+    ).astype(jnp.float32)
+    s1, m = step(s0, batch)
+
+    # Manual two-microbatch mirror of step.py's loss_fn.
+    rng = jax.random.fold_in(s0.rng, s0.step)
+    beta = losses.beta_schedule(
+        s0.step, jnp.asarray(0), train_cfg=tc, total_steps=4, total_epochs=1
+    )
+
+    def loss_fn(params, mb, bstats, spect, rng_mb):
+        variables = {"params": params, "batch_stats": bstats}
+        mutable = ["batch_stats"]
+        if spect:
+            variables["spectral"] = spect
+            mutable.append("spectral")
+        out, mutated = model.apply(
+            variables, mb, True, rngs={"sample": rng_mb}, mutable=mutable
+        )
+        loss, _ = losses.elbo_loss(out, mb, beta, model_cfg)
+        loss = loss + losses.bn_gamma_penalty(params, model_cfg.sr_lambda)
+        return loss, mutated
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    bstats, spect = s0.batch_stats, s0.spectral
+    grads_acc, loss_acc = None, 0.0
+    for i in range(2):
+        mb = batch[i * 4 : (i + 1) * 4]
+        (l_i, mutated), g_i = grad_fn(
+            s0.params, mb, bstats, spect, jax.random.fold_in(rng, i)
+        )
+        bstats = mutated.get("batch_stats", bstats)
+        spect = mutated.get("spectral", spect)
+        loss_acc += float(l_i) / 2
+        grads_acc = (
+            g_i if grads_acc is None
+            else jax.tree.map(lambda a, b: a + b, grads_acc, g_i)
+        )
+    avg_grads = jax.tree.map(lambda g: g / 2, grads_acc)
+    expected = jax.tree.map(lambda p, g: p - lr * g, s0.params, avg_grads)
+
+    for got, want in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(expected)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6
+        )
+    np.testing.assert_allclose(float(m["loss"]), loss_acc, rtol=1e-5)
+    for got, want in zip(
+        jax.tree.leaves(s1.batch_stats), jax.tree.leaves(bstats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
+
+def test_grad_accum_rejects_non_divisible_batch():
+    model_cfg = debug_config()
+    tc = TrainConfig(
+        epochs=1, batch_size=6, step_based_warmup=True, grad_accum=4
+    )
+    model, s0, tx = create_train_state(model_cfg, tc, total_steps=4)
+    step = make_train_step(model, tx, tc, 4, 4, donate=False)
+    batch = jnp.zeros((6, 32, 32, 1))
+    with pytest.raises(ValueError, match="not divisible"):
+        step(s0, batch)
+
+
+def test_trainer_rejects_grad_accum_with_scan_epochs():
+    from nvae_tpu.train.trainer import Trainer
+
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(
+            debug_config(),
+            TrainConfig(
+                epochs=1, batch_size=8, scan_epochs=True, grad_accum=2
+            ),
+            steps_per_epoch=2,
+        )
