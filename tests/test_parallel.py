@@ -445,3 +445,85 @@ def test_fsdp_adamax_trajectory_matches_single():
 
     lr = tc.learning_rate
     assert max_delta(sharded.params, single.params) < 3 * lr * 4
+
+
+def test_scan_epoch_runner_fsdp_matches_single():
+    """The lax.scan epoch runner composes with the FSDP layout: a whole
+    epoch over FSDP-sharded state (params + moments 1/N over 'data')
+    reproduces the single-device epoch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.parallel import shard_state_fsdp
+    from nvae_tpu.train.epoch_runner import make_epoch_runner, stage_dataset
+    from nvae_tpu.train.state import create_train_state
+
+    devices = jax.devices()
+    mesh = make_mesh(n_data=len(devices), n_model=1)
+    cfg = debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+    steps, batch = 2, 16
+    tc = TrainConfig(epochs=1, batch_size=batch, step_based_warmup=True)
+    model, s0, tx = create_train_state(cfg, tc, total_steps=steps)
+    runner = make_epoch_runner(
+        model, tx, tc, total_steps=steps, steps_per_epoch=steps,
+        donate=False,
+    )
+    data = (
+        np.random.RandomState(1).rand(steps * batch, 32, 32, 1) > 0.5
+    ).astype(np.uint8) * np.uint8(255)
+    st_s, m_s = runner(
+        shard_state_fsdp(s0, mesh, min_size=64),
+        stage_dataset(data, NamedSharding(mesh, P("data", None, None, None))),
+        jnp.asarray(0),
+    )
+    st_u, m_u = runner(
+        jax.device_put(s0, devices[0]), stage_dataset(data), jnp.asarray(0)
+    )
+    np.testing.assert_allclose(
+        float(m_s["loss"]), float(m_u["loss"]), rtol=2e-3
+    )
+    d_bn = max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(
+            jax.tree.leaves(st_s.batch_stats), jax.tree.leaves(st_u.batch_stats)
+        )
+    )
+    assert d_bn < 1e-2
+
+
+def test_memory_report_fsdp_reduces_device_bytes():
+    """tools/memory_report.py: FSDP's per-device state bytes are a fraction
+    of the replicated layout's, while the global totals are identical."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "memory_report",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "memory_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rep = mod.main(["--layout", "replicated", "--debug", "--no_compile"])
+    fsdp = mod.main(["--layout", "fsdp", "--debug", "--no_compile",
+                     "--min_size", "64"])
+    assert (
+        rep["state_bytes_total"]["all"] == fsdp["state_bytes_total"]["all"]
+    )
+    # Replicated stores every param byte on device 0; FSDP a strict subset
+    # (the tiny debug model still has mostly-small leaves, so just require
+    # a real reduction, not the asymptotic 1/N).
+    assert rep["state_bytes_device0"]["params"] == rep[
+        "state_bytes_total"]["params"]
+    assert (
+        fsdp["state_bytes_device0"]["params"]
+        < rep["state_bytes_device0"]["params"]
+    )
+    assert (
+        fsdp["state_bytes_device0"]["opt_state"]
+        < rep["state_bytes_device0"]["opt_state"]
+    )

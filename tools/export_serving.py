@@ -1,0 +1,222 @@
+"""Export the sampler as a self-contained StableHLO serving artifact.
+
+The reference has no deployment story: serving means dragging the whole
+TF2/Keras model code plus a Python process around (``train.py --mode
+sample``).  The TPU-native equivalent is ``jax.export``: the jitted
+sampling function — weights baked in as constants — is lowered ONCE to
+versioned StableHLO and written to a single file.  A serving host then
+needs only that file and jax (no model code, no config, no checkpoint
+tree) and can run it on CPU or TPU: the artifact is cross-lowered for
+both platforms by default.
+
+Shapes are static by design (XLA serving discipline): one artifact per
+(batch, temperature-schedule) serving shape; temperature itself stays a
+*traced scalar* argument, so one artifact serves any temperature without
+recompilation — same rule as the live model (CLAUDE.md).
+
+Produce (fresh-init demo weights, or --ckpt for trained ones):
+
+    python tools/export_serving.py --out sampler.shlo --batch 144 [--debug]
+    python tools/export_serving.py --out sampler.shlo --ckpt /abs/path/ckpt
+
+Serve (standalone — note: only jax + the file):
+
+    python tools/export_serving.py --load sampler.shlo --run --temperature 0.8
+
+The exported callable signature is ``(rng_key_data, temperature) ->
+images`` with ``rng_key_data = jax.random.key_data(key)`` (uint32[2]) so
+the artifact has no custom-PRNG-type surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _honor_env_platform():
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+def build_sampler(model, variables, n_samples: int,
+                  scale_temperatures=None):
+    """Close the model + weights into a pure ``(key_data, t) -> images``."""
+    import jax
+    import jax.numpy as jnp
+
+    def sampler(key_data: jax.Array, temperature: jax.Array) -> jax.Array:
+        rng = jax.random.wrap_key_data(key_data)
+        images, _, _, _ = model.apply(
+            variables,
+            n_samples,
+            temperature,
+            True,
+            tuple(scale_temperatures) if scale_temperatures else None,
+            method=type(model).sample,
+            rngs={"sample": rng},
+        )
+        return images
+
+    return sampler
+
+
+def export_artifact(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from nvae_tpu.config import ModelConfig, TrainConfig
+    from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    if args.preset:
+        from nvae_tpu.presets import get_preset
+
+        model_cfg, train_cfg = get_preset(args.preset)
+    elif args.debug:
+        from nvae_tpu.config import debug_config
+
+        model_cfg = debug_config(
+            n_encoder_channels=8, n_decoder_channels=8,
+            n_groups_per_scale=(1, 1), n_latent_per_group=2,
+        )
+        train_cfg = TrainConfig(epochs=1, batch_size=16)
+    else:
+        model_cfg = ModelConfig()
+        train_cfg = TrainConfig()
+
+    model, state, _ = create_train_state(model_cfg, train_cfg, total_steps=1)
+    if args.ckpt:
+        from nvae_tpu.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(os.path.abspath(args.ckpt), state)
+        print(f"Restored checkpoint: {args.ckpt} (step {int(state.step)})")
+
+    variables = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        **({"spectral": state.spectral} if state.spectral else {}),
+    }
+    sampler = build_sampler(
+        model, variables, args.batch, args.scale_temperatures
+    )
+
+    key_data = jax.random.key_data(jax.random.PRNGKey(0))
+    platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    exported = jexport.export(jax.jit(sampler), platforms=platforms)(
+        jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    blob = exported.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    meta = {
+        "batch": args.batch,
+        "image_size": model_cfg.image_size,
+        "in_channels": model_cfg.in_channels,
+        "platforms": platforms,
+        "scale_temperatures": args.scale_temperatures,
+        "calling_convention": "(rng_key_data_uint32, temperature_f32) -> "
+                              "images",
+        "bytes": len(blob),
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps({"exported": args.out, **meta}))
+
+    if args.check:
+        # Round-trip: deserialize and compare against the live model.
+        import numpy as np
+
+        key = jax.random.PRNGKey(42)
+        kd = jax.random.key_data(key)
+        t = jnp.float32(0.8)
+        live = jax.jit(sampler)(kd, t)
+        with open(args.out, "rb") as f:
+            reloaded = jexport.deserialize(bytearray(f.read()))
+        served = reloaded.call(kd, t)
+        np.testing.assert_allclose(
+            np.asarray(live), np.asarray(served), atol=1e-5
+        )
+        print(f"check OK: artifact == live model "
+              f"(max |d| = {float(abs(np.asarray(live) - np.asarray(served)).max()):.2e})")
+    return args.out
+
+
+def load_and_run(args):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    with open(args.load, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    kd = jax.random.key_data(jax.random.PRNGKey(args.seed))
+    images = exported.call(kd, jnp.float32(args.temperature))
+    images = np.asarray(images)
+    print(json.dumps({
+        "artifact": args.load,
+        "images": list(images.shape),
+        "mean": float(images.mean()),
+        "min": float(images.min()),
+        "max": float(images.max()),
+    }))
+    if args.save_png:
+        from nvae_tpu.utils.images import save_images_to_dir
+
+        os.makedirs(args.save_png, exist_ok=True)
+        save_images_to_dir(images, args.save_png)
+        print(f"wrote {images.shape[0]} PNGs to {args.save_png}")
+    return images
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--out", default="sampler.shlo",
+                   help="Artifact path to write")
+    p.add_argument("--load", default="",
+                   help="Load an existing artifact instead of exporting")
+    p.add_argument("--run", action="store_true",
+                   help="With --load: run the artifact once")
+    p.add_argument("--ckpt", default="", help="Orbax checkpoint to bake in")
+    p.add_argument("--preset", default="")
+    p.add_argument("--debug", action="store_true",
+                   help="Tiny debug model (fast; for tests/smoke)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="Static serving batch size")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--scale_temperatures", type=float, nargs="*",
+                   default=None,
+                   help="Annealed sampling: one temperature per decoder "
+                        "scale, baked into the artifact")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="Comma-separated lowering targets")
+    p.add_argument("--check", action="store_true",
+                   help="After export: deserialize + compare vs live model")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_png", default="",
+                   help="With --load --run: write sampled PNGs here")
+    args = p.parse_args(argv)
+
+    _honor_env_platform()
+    if args.load:
+        return load_and_run(args)
+    return export_artifact(args)
+
+
+if __name__ == "__main__":
+    main()
