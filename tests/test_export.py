@@ -72,3 +72,23 @@ def test_export_cross_platform_lowering(tmp_path):
     kd = jax.random.key_data(jax.random.PRNGKey(1))
     images = np.asarray(exported.call(kd, jnp.float32(1.0)))
     assert images.shape[0] == 2
+
+
+def test_export_bf16_weights_smaller_and_finite(tmp_path):
+    """--weights_dtype bfloat16 bakes half-width weight constants: the
+    artifact shrinks materially and still produces finite images."""
+    mod = _load_tool()
+    f32 = str(tmp_path / "f32.shlo")
+    bf16 = str(tmp_path / "bf16.shlo")
+    mod.main(["--out", f32, "--debug", "--batch", "2", "--platforms", "cpu"])
+    mod.main(["--out", bf16, "--debug", "--batch", "2", "--platforms", "cpu",
+              "--weights_dtype", "bfloat16"])
+    assert os.path.getsize(bf16) < 0.8 * os.path.getsize(f32)
+
+    from jax import export as jexport
+
+    with open(bf16, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    kd = jax.random.key_data(jax.random.PRNGKey(3))
+    images = np.asarray(exported.call(kd, jnp.float32(1.0)))
+    assert np.isfinite(images).all()

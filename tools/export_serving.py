@@ -105,8 +105,22 @@ def export_artifact(args):
         state = restore_checkpoint(os.path.abspath(args.ckpt), state)
         print(f"Restored checkpoint: {args.ckpt} (step {int(state.step)})")
 
+    params = state.params
+    if args.weights_dtype:
+        # Serving-memory lever: bake the conv weights as bf16 constants
+        # (halves the artifact and the serving HBM footprint; the MXU
+        # computes in bf16 anyway under --compute_dtype bfloat16).  BN
+        # running stats stay fp32 — they participate in tiny-epsilon
+        # arithmetic where bf16's 8-bit mantissa visibly shifts outputs.
+        wd = jnp.dtype(args.weights_dtype)
+        params = jax.tree.map(
+            lambda x: x.astype(wd)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
     variables = {
-        "params": state.params,
+        "params": params,
         "batch_stats": state.batch_stats,
         **({"spectral": state.spectral} if state.spectral else {}),
     }
@@ -129,6 +143,7 @@ def export_artifact(args):
         "in_channels": model_cfg.in_channels,
         "platforms": platforms,
         "scale_temperatures": args.scale_temperatures,
+        "weights_dtype": args.weights_dtype or "float32",
         "calling_convention": "(rng_key_data_uint32, temperature_f32) -> "
                               "images",
         "bytes": len(blob),
@@ -205,6 +220,9 @@ def main(argv=None):
                         "scale, baked into the artifact")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="Comma-separated lowering targets")
+    p.add_argument("--weights_dtype", default="",
+                   help="Cast baked-in weights (e.g. bfloat16) — halves "
+                        "the artifact and serving HBM; BN stats stay fp32")
     p.add_argument("--check", action="store_true",
                    help="After export: deserialize + compare vs live model")
     p.add_argument("--seed", type=int, default=0)
