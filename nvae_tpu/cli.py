@@ -123,8 +123,8 @@ def parse_args(argv=None):
     p.add_argument("--grad_accum", type=int, default=1,
                    help="Microbatches per optimizer step (gradient "
                         "accumulation inside the jitted step; activation "
-                        "memory scales with batch_size/grad_accum). On a "
-                        "multi-device mesh requires --fsdp (see trainer.py)")
+                        "memory scales with batch_size/grad_accum); "
+                        "composes with --fsdp and multi-device meshes")
     p.add_argument("--postprocess_depthwise", action="store_true",
                    help="Depthwise postprocess 5x5 (the form the reference "
                         "intended but left commented out, postprocess.py:76; "

@@ -30,15 +30,31 @@ def make_train_step(
     total_steps: int,
     steps_per_epoch: int,
     donate: bool = True,
+    mesh=None,
 ):
     """Returns ``step_fn(state, batch) -> (state, metrics)``, jit-compiled.
 
     ``batch`` is a (B, H, W, C) float array in [0, 1] (already binarized for
     Bernoulli configs — binarization happens device-side in the data layer).
+
+    ``mesh`` MUST be passed when ``grad_accum > 1`` runs on a multi-device
+    mesh: the microbatch reshape ``(B, ...) -> (accum, B/accum, ...)`` is
+    otherwise re-sharded by GSPMD across BOTH leading dims, and the jax 0.8
+    SPMD partitioner then computes a wrong (double-counted) depthwise-conv
+    gradient — one silently wrong leaf, caught by the SGD lockstep tests.
+    With the mesh we pin the reshape to ``P(None, "data")`` (accumulation
+    dim replicated, microbatch rows sharded exactly like the incoming
+    batch), which restores exact agreement with single-device training
+    (1.5e-8 over 3 steps) under every parameter layout.
     """
     model_cfg: ModelConfig = model.cfg
     total_epochs = max(total_steps // max(steps_per_epoch, 1), 1)
     grad_accum = max(int(getattr(train_cfg, "grad_accum", 1)), 1)
+    mb_sharding = None
+    if grad_accum > 1 and mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mb_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
 
     def step_fn(state: TrainState, batch: jax.Array) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(state.rng, state.step)
@@ -105,6 +121,11 @@ def make_train_step(
             mbs = batch.reshape(
                 grad_accum, batch.shape[0] // grad_accum, *batch.shape[1:]
             )
+            if mb_sharding is not None:
+                # See the mesh note in the factory docstring: without this
+                # pin, GSPMD re-shards the reshape across both leading dims
+                # and miscompiles the depthwise-conv gradient.
+                mbs = jax.lax.with_sharding_constraint(mbs, mb_sharding)
 
             def body(carry, xs):
                 bstats, spect = carry

@@ -69,24 +69,6 @@ class Trainer:
             # "replicated" = plain DP (params everywhere); "fsdp" = params +
             # optimizer moments split 1/N over the data axis (ZeRO-3 layout,
             # parallel/mesh.py) for configs that outgrow one chip's HBM.
-            if train_cfg.grad_accum > 1 and mesh.size > 1 and (
-                param_sharding == "replicated"
-            ):
-                # jax 0.8 SPMD partitioner miscompile: with REPLICATED params
-                # on a multi-device mesh, the depthwise-conv gradient inside
-                # the grad-accumulation lax.scan is double-counted (grad_norm
-                # 473 vs 337 on the debug model, the one wrong leaf being
-                # dw_kernel — same family as the model>1-mesh bug noted in
-                # parallel/mesh.py:shard_state). The FSDP layout partitions
-                # the kernel and compiles correctly (lockstep-verified to
-                # 1.5e-8), so require it here rather than risk a silently
-                # wrong gradient.
-                raise ValueError(
-                    "grad_accum > 1 with replicated params on a multi-device "
-                    "mesh miscompiles the depthwise-conv gradient (GSPMD, "
-                    "jax 0.8). Combine --grad_accum with --fsdp — the FSDP "
-                    "layout is lockstep-verified under accumulation."
-                )
             if param_sharding == "fsdp":
                 from nvae_tpu.parallel import shard_state_fsdp
 
@@ -100,8 +82,12 @@ class Trainer:
                     f"param_sharding must be 'replicated' or 'fsdp', "
                     f"got {param_sharding!r}"
                 )
+        # mesh= pins the grad-accumulation microbatch reshape to
+        # P(None, "data") — required on multi-device meshes to dodge a
+        # GSPMD depthwise-gradient miscompile (see make_train_step).
         self.step_fn = make_train_step(
-            self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch
+            self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch,
+            mesh=mesh,
         )
         self._epoch_runner = None  # built lazily for the scan-epochs path
         self._staged_data = None

@@ -529,20 +529,23 @@ def test_memory_report_fsdp_reduces_device_bytes():
     )
 
 
-def test_grad_accum_fsdp_on_mesh_matches_single():
-    """grad_accum composes with the FSDP mesh layout: microbatched steps
-    over sharded batches match the single-device trajectory under linear
-    SGD at every step.
+@pytest.mark.parametrize("layout", ["replicated", "fsdp"])
+def test_grad_accum_on_mesh_matches_single(layout):
+    """grad_accum composes with the mesh under BOTH parameter layouts:
+    microbatched steps over sharded batches match the single-device
+    trajectory under linear SGD at every step.
 
-    FSDP is the REQUIRED layout here, not a choice: replicated params +
-    grad-accumulation scan on a multi-device mesh trips the jax 0.8 GSPMD
-    depthwise-conv gradient miscompile (grad_norm 473 vs 337, one wrong
-    leaf = dw_kernel; same family as the model>1-mesh bug), which is why
-    Trainer rejects that combination (see the companion test below)."""
+    This is the regression test for a jax 0.8 GSPMD miscompile: without
+    the P(None, "data") pin that make_train_step(mesh=...) places on the
+    (accum, micro, ...) reshape, the partitioner re-shards it across both
+    leading dims and produces a double-counted depthwise-conv gradient
+    (grad_norm 473 vs 337, the single wrong leaf being dw_kernel — same
+    family as the model>1-mesh bug in parallel/mesh.py:shard_state).
+    The replicated variant of this test fails without the pin."""
     import optax
 
     from nvae_tpu.config import TrainConfig, debug_config
-    from nvae_tpu.parallel import shard_state_fsdp
+    from nvae_tpu.parallel import shard_state, shard_state_fsdp
     from nvae_tpu.train.state import create_train_state
     from nvae_tpu.train.step import make_train_step
 
@@ -558,9 +561,15 @@ def test_grad_accum_fsdp_on_mesh_matches_single():
     model, s0, _ = create_train_state(cfg, tc, total_steps=4)
     tx = optax.sgd(1e-5)
     s0 = s0.replace(opt_state=tx.init(s0.params))
-    sharded = shard_state_fsdp(s0, mesh, min_size=64)
+    if layout == "fsdp":
+        sharded = shard_state_fsdp(s0, mesh, min_size=64)
+    else:
+        sharded = shard_state(s0, mesh)
     single = jax.device_put(s0, devices[0])
-    step = make_train_step(model, tx, tc, 4, 4, donate=False)
+    # Two step fns: the mesh pin bakes the 8-device mesh into the program,
+    # so the single-device reference needs its own (pin-free) compilation.
+    step = make_train_step(model, tx, tc, 4, 4, donate=False, mesh=mesh)
+    step_1 = make_train_step(model, tx, tc, 4, 4, donate=False)
 
     def max_delta(a, b):
         return max(
@@ -576,7 +585,7 @@ def test_grad_accum_fsdp_on_mesh_matches_single():
             > 0.5
         ).astype(jnp.float32)
         sharded, ms = step(sharded, shard_batch(batch, mesh))
-        single, mu = step(single, jax.device_put(batch, devices[0]))
+        single, mu = step_1(single, jax.device_put(batch, devices[0]))
         np.testing.assert_allclose(
             float(ms["loss"]), float(mu["loss"]), rtol=1e-5,
             err_msg=f"loss step {i}",
@@ -588,21 +597,49 @@ def test_grad_accum_fsdp_on_mesh_matches_single():
         assert max_delta(sharded.params, single.params) < 1e-5, f"step {i}"
 
 
-def test_trainer_rejects_grad_accum_with_replicated_mesh():
-    """Replicated params + grad_accum on a multi-device mesh is the GSPMD
-    depthwise-grad miscompile pattern — Trainer must refuse it and point
-    at --fsdp rather than train on a silently wrong gradient."""
-    from nvae_tpu.config import TrainConfig, debug_config
-    from nvae_tpu.train.trainer import Trainer
+def test_grad_accum_unpinned_reshape_still_miscompiles():
+    """Canary for the upstream GSPMD bug: WITHOUT the mesh pin (the old
+    step construction), replicated params + the accumulation reshape on a
+    multi-device mesh still produce a wrong depthwise-conv gradient.  If
+    this test ever starts failing (i.e. the unpinned gradient becomes
+    correct), the jax bug is fixed upstream and the with_sharding_constraint
+    in make_train_step can be retired."""
+    import optax
 
-    with pytest.raises(ValueError, match="fsdp"):
-        Trainer(
-            debug_config(
-                n_encoder_channels=8, n_decoder_channels=8,
-                n_groups_per_scale=(1, 1), n_latent_per_group=2,
-            ),
-            TrainConfig(epochs=1, batch_size=16, grad_accum=2),
-            steps_per_epoch=2,
-            mesh=make_mesh(n_data=len(jax.devices()), n_model=1),
-            param_sharding="replicated",
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.parallel import shard_state
+    from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.train.step import make_train_step
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(n_data=len(devices), n_model=1)
+    cfg = debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+    tc = TrainConfig(
+        epochs=1, batch_size=16, step_based_warmup=True, grad_accum=2
+    )
+    model, s0, _ = create_train_state(cfg, tc, total_steps=4)
+    tx = optax.sgd(1e-5)
+    s0 = s0.replace(opt_state=tx.init(s0.params))
+    step = make_train_step(model, tx, tc, 4, 4, donate=False)  # no mesh pin
+    batch = (
+        jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(5), 0), (16, 32, 32, 1)
         )
+        > 0.5
+    ).astype(jnp.float32)
+    _, ms = step(shard_state(s0, mesh), shard_batch(batch, mesh))
+    _, mu = step(jax.device_put(s0, devices[0]),
+                 jax.device_put(batch, devices[0]))
+    rel = abs(float(ms["grad_norm"]) - float(mu["grad_norm"])) / float(
+        mu["grad_norm"]
+    )
+    assert rel > 0.01, (
+        f"unpinned grad_accum reshape now matches single-device "
+        f"(rel {rel:.2e}) — upstream GSPMD bug fixed? The pin in "
+        f"make_train_step can be retired."
+    )
