@@ -15,6 +15,7 @@ Public API (mirrors the reference's capability surface):
 - :mod:`nvae_tpu.eval`      — IWAE NLL, FID, k-NN precision/recall, PPL
 - :mod:`nvae_tpu.parallel`  — mesh construction and sharding helpers
 - :mod:`nvae_tpu.kernels`   — Pallas TPU kernels for hot ops
+- :mod:`nvae_tpu.serving`   — jax.export StableHLO serving artifacts
 """
 
 __version__ = "0.1.0"

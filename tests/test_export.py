@@ -92,3 +92,38 @@ def test_export_bf16_weights_smaller_and_finite(tmp_path):
     kd = jax.random.key_data(jax.random.PRNGKey(3))
     images = np.asarray(exported.call(kd, jnp.float32(1.0)))
     assert np.isfinite(images).all()
+
+
+def test_serving_library_api(tmp_path):
+    """nvae_tpu.serving as a library: build_sampler/cast_params/
+    export_sampler/load_artifact round-trip without the CLI wrapper."""
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.serving import (
+        build_sampler,
+        cast_params,
+        export_sampler,
+        load_artifact,
+    )
+    from nvae_tpu.train.state import create_train_state
+
+    cfg = debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+    model, state, _ = create_train_state(
+        cfg, TrainConfig(epochs=1, batch_size=4), total_steps=1
+    )
+    variables = {
+        "params": cast_params(state.params, "bfloat16"),
+        "batch_stats": state.batch_stats,
+    }
+    blob = export_sampler(model, variables, 4, platforms=("cpu",))
+    path = tmp_path / "lib.shlo"
+    path.write_bytes(blob)
+
+    kd = jax.random.key_data(jax.random.PRNGKey(0))
+    live = jax.jit(build_sampler(model, variables, 4))(kd, jnp.float32(0.9))
+    served = load_artifact(str(path)).call(kd, jnp.float32(0.9))
+    np.testing.assert_allclose(
+        np.asarray(live), np.asarray(served), atol=1e-5
+    )

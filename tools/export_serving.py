@@ -49,32 +49,9 @@ def _honor_env_platform():
             pass
 
 
-def build_sampler(model, variables, n_samples: int,
-                  scale_temperatures=None):
-    """Close the model + weights into a pure ``(key_data, t) -> images``."""
-    import jax
-    import jax.numpy as jnp
-
-    def sampler(key_data: jax.Array, temperature: jax.Array) -> jax.Array:
-        rng = jax.random.wrap_key_data(key_data)
-        images, _, _, _ = model.apply(
-            variables,
-            n_samples,
-            temperature,
-            True,
-            tuple(scale_temperatures) if scale_temperatures else None,
-            method=type(model).sample,
-            rngs={"sample": rng},
-        )
-        return images
-
-    return sampler
-
-
 def export_artifact(args):
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from nvae_tpu.config import ModelConfig, TrainConfig
     from nvae_tpu.train.state import create_train_state
@@ -105,36 +82,20 @@ def export_artifact(args):
         state = restore_checkpoint(os.path.abspath(args.ckpt), state)
         print(f"Restored checkpoint: {args.ckpt} (step {int(state.step)})")
 
+    from nvae_tpu.serving import build_sampler, cast_params, export_sampler
+
     params = state.params
     if args.weights_dtype:
-        # Serving-memory lever: bake the conv weights as bf16 constants
-        # (halves the artifact and the serving HBM footprint; the MXU
-        # computes in bf16 anyway under --compute_dtype bfloat16).  BN
-        # running stats stay fp32 — they participate in tiny-epsilon
-        # arithmetic where bf16's 8-bit mantissa visibly shifts outputs.
-        wd = jnp.dtype(args.weights_dtype)
-        params = jax.tree.map(
-            lambda x: x.astype(wd)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            params,
-        )
+        params = cast_params(params, args.weights_dtype)
     variables = {
         "params": params,
         "batch_stats": state.batch_stats,
         **({"spectral": state.spectral} if state.spectral else {}),
     }
-    sampler = build_sampler(
-        model, variables, args.batch, args.scale_temperatures
-    )
-
-    key_data = jax.random.key_data(jax.random.PRNGKey(0))
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
-    exported = jexport.export(jax.jit(sampler), platforms=platforms)(
-        jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
-        jax.ShapeDtypeStruct((), jnp.float32),
+    blob = export_sampler(
+        model, variables, args.batch, args.scale_temperatures, platforms
     )
-    blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
     meta = {
@@ -156,13 +117,15 @@ def export_artifact(args):
         # Round-trip: deserialize and compare against the live model.
         import numpy as np
 
-        key = jax.random.PRNGKey(42)
-        kd = jax.random.key_data(key)
+        from nvae_tpu.serving import load_artifact
+
+        sampler = build_sampler(
+            model, variables, args.batch, args.scale_temperatures
+        )
+        kd = jax.random.key_data(jax.random.PRNGKey(42))
         t = jnp.float32(0.8)
         live = jax.jit(sampler)(kd, t)
-        with open(args.out, "rb") as f:
-            reloaded = jexport.deserialize(bytearray(f.read()))
-        served = reloaded.call(kd, t)
+        served = load_artifact(args.out).call(kd, t)
         np.testing.assert_allclose(
             np.asarray(live), np.asarray(served), atol=1e-5
         )
@@ -176,10 +139,10 @@ def load_and_run(args):
 
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
-    with open(args.load, "rb") as f:
-        exported = jexport.deserialize(bytearray(f.read()))
+    from nvae_tpu.serving import load_artifact
+
+    exported = load_artifact(args.load)
     kd = jax.random.key_data(jax.random.PRNGKey(args.seed))
     images = exported.call(kd, jnp.float32(args.temperature))
     images = np.asarray(images)
