@@ -125,6 +125,15 @@ def parse_args(argv=None):
                         "accumulation inside the jitted step; activation "
                         "memory scales with batch_size/grad_accum); "
                         "composes with --fsdp and multi-device meshes")
+    p.add_argument("--pp_stages", type=int, default=1,
+                   help="Pipeline parallelism (GPipe): split the model's "
+                        "stage modules over this many devices (2-4); each "
+                        "stage holds 1/S of params+optimizer. With "
+                        "--data_parallel N, N devices per stage. Excludes "
+                        "--scan_epochs/--grad_accum/--fsdp")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per optimizer step (0 = "
+                        "pp_stages); the pipeline's gradient accumulation")
     p.add_argument("--postprocess_depthwise", action="store_true",
                    help="Depthwise postprocess 5x5 (the form the reference "
                         "intended but left commented out, postprocess.py:76; "
@@ -224,6 +233,8 @@ def build_configs(args, bundle):
         scan_epochs=args.scan_epochs,
         grad_accum=args.grad_accum,
         data_parallel=args.data_parallel,
+        pipeline_stages=args.pp_stages,
+        pipeline_microbatches=args.pp_microbatches,
     )
     return model_cfg, train_cfg
 
@@ -310,6 +321,8 @@ def main(argv=None):
             scan_epochs=args.scan_epochs,
             grad_accum=args.grad_accum,
             data_parallel=args.data_parallel,
+            pipeline_stages=args.pp_stages,
+            pipeline_microbatches=args.pp_microbatches,
         )
         args.dataset = train_cfg.dataset
         args.batch_size = train_cfg.batch_size
@@ -329,7 +342,17 @@ def main(argv=None):
 
     mesh = None
     sharding = None
-    if args.data_parallel != 1 and len(jax.devices()) > 1:
+    if args.pp_stages > 1:
+        # Pipeline mode does its own per-stage placement (no GSPMD mesh);
+        # --data_parallel becomes the DP width within each stage.
+        if args.fsdp or args.scan_epochs:
+            raise SystemExit(
+                "--pp_stages excludes --fsdp/--scan_epochs (per-stage "
+                "placement vs whole-mesh GSPMD layouts)"
+            )
+        print(f"Pipeline: {args.pp_stages} stages x "
+              f"dp={args.data_parallel or len(jax.devices()) // args.pp_stages}")
+    elif args.data_parallel != 1 and len(jax.devices()) > 1:
         mesh = make_mesh(n_data=args.data_parallel)
         sharding = data_sharding(mesh)
         print(f"Mesh: {mesh}")

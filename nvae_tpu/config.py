@@ -250,6 +250,14 @@ class TrainConfig:
     data_parallel: int = 0
     # Mesh axis sizes for (data, model); model axis reserved for future TP.
     model_parallel: int = 1
+    # Pipeline parallelism (GPipe over the four stage modules,
+    # parallel/pipeline.py): >1 places each stage group on its own
+    # device(s).  Microbatches are the pipeline's gradient accumulation
+    # (0 = same as pipeline_stages); incompatible with scan_epochs and
+    # grad_accum>1.  In pipeline mode data_parallel is the DP width WITHIN
+    # each stage (0 = devices/stages).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
 
 # The default MNIST configuration used across tests and benchmarks.

@@ -1,3 +1,7 @@
+from nvae_tpu.parallel.pipeline import (  # noqa: F401
+    PipelineTrainer,
+    stage_names,
+)
 from nvae_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     fsdp_sharding,

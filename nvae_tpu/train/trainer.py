@@ -82,13 +82,35 @@ class Trainer:
                     f"param_sharding must be 'replicated' or 'fsdp', "
                     f"got {param_sharding!r}"
                 )
+        self._pp = None
+        if getattr(train_cfg, "pipeline_stages", 1) > 1:
+            # GPipe pipeline parallelism: per-stage device placement with
+            # its own microbatch schedule (parallel/pipeline.py).  Mutually
+            # exclusive with the GSPMD mesh layouts and scan_epochs.
+            if mesh is not None:
+                raise ValueError(
+                    "pipeline_stages>1 does its own placement; pass mesh=None"
+                )
+            if train_cfg.scan_epochs:
+                raise ValueError("pipeline_stages>1 excludes scan_epochs")
+            from nvae_tpu.parallel import PipelineTrainer
+
+            dp = train_cfg.data_parallel or max(
+                len(jax.devices()) // train_cfg.pipeline_stages, 1
+            )
+            self._pp = PipelineTrainer(
+                self.model, train_cfg, self.total_steps, steps_per_epoch,
+                n_stages=train_cfg.pipeline_stages,
+                n_microbatches=train_cfg.pipeline_microbatches,
+                dp=dp, state=self.state,
+            )
         # mesh= pins the grad-accumulation microbatch reshape to
         # P(None, "data") — required on multi-device meshes to dodge a
         # GSPMD depthwise-gradient miscompile (see make_train_step).
         self.step_fn = make_train_step(
             self.model, self.tx, train_cfg, self.total_steps, steps_per_epoch,
             mesh=mesh,
-        )
+        ) if self._pp is None else None
         self._epoch_runner = None  # built lazily for the scan-epochs path
         self._staged_data = None
         self._eval_fn = None
@@ -170,9 +192,16 @@ class Trainer:
         if step is None:
             return 0
         try:
-            self.state = ckpt.restore_checkpoint(self.ckpt_dir, self.state, step)
+            # Pipeline checkpoints carry a per-stage opt_state tuple — the
+            # restore template must match that structure (merged_state).
+            template = (
+                self._pp.merged_state() if self._pp is not None else self.state
+            )
+            self.state = ckpt.restore_checkpoint(self.ckpt_dir, template, step)
         except FileNotFoundError:
             return 0
+        if self._pp is not None:
+            self._pp.load_state(self.state, restore_opt=True)
         return int(step) // self.steps_per_epoch
 
     # ---- main loop --------------------------------------------------------
@@ -220,6 +249,16 @@ class Trainer:
                     self.state, self._staged_data, jnp.asarray(epoch)
                 )
                 agg = metrics  # already per-epoch means
+            elif self._pp is not None:
+                agg, n_batches = {}, 0
+                for batch in train_iter.epoch(epoch):
+                    metrics = self._pp.step(batch)
+                    n_batches += 1
+                    for k, v in metrics.items():
+                        agg[k] = agg.get(k, 0.0) + v
+                # Sync the merged view once per epoch so the image hooks,
+                # checkpoints and early stopping below see current weights.
+                self.state = self._pp.merged_state()
             else:
                 agg, n_batches = {}, 0
                 for batch in train_iter.epoch(epoch):

@@ -1,0 +1,258 @@
+"""Pipeline-parallelism (GPipe) lockstep tests on the virtual CPU devices.
+
+The contract under test (parallel/pipeline.py): a PipelineTrainer step with
+M microbatches over S stage devices is numerically the ``grad_accum=M``
+single-device step — same RNG folds, same BN/spectral mutation chain, same
+mean-of-microbatch gradients, per-stage optimizers equivalent to the global
+one.  Everything here compares full parameter trees after several steps.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nvae_tpu.config import TrainConfig, debug_config
+from nvae_tpu.parallel import PipelineTrainer, stage_names
+from nvae_tpu.train.state import create_train_state
+from nvae_tpu.train.step import make_train_step
+
+STEPS_PER_EPOCH = 4
+TOTAL_STEPS = 12
+
+
+def _setup(spectral_mode="projection", tx=None, grad_accum=1, lr=1e-5):
+    model_cfg = debug_config(spectral_mode=spectral_mode)
+    train_cfg = TrainConfig(
+        epochs=3, batch_size=8, grad_accum=grad_accum,
+        step_based_warmup=True, learning_rate=lr,
+    )
+    model, state, tx = create_train_state(
+        model_cfg, train_cfg, TOTAL_STEPS, tx=tx
+    )
+    return model_cfg, train_cfg, model, state, tx
+
+
+def _batches(n, batch=8):
+    key = jax.random.PRNGKey(42)
+    return [
+        jax.random.bernoulli(
+            jax.random.fold_in(key, i), 0.4, (batch, 32, 32, 1)
+        ).astype(jnp.float32)
+        for i in range(n)
+    ]
+
+
+def _max_delta(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return max(
+        float(jnp.max(jnp.abs(x - y))) for x, y in zip(leaves_a, leaves_b)
+    )
+
+
+def _copy(state):
+    return jax.tree.map(jnp.copy, state)
+
+
+def _run_single(model, tx, train_cfg, state, batches):
+    step_fn = make_train_step(
+        model, tx, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH, donate=False
+    )
+    losses = []
+    for b in batches:
+        state, metrics = step_fn(state, b)
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def _run_pipeline(model, train_cfg, state, batches, n_stages, M, dp=1,
+                  tx_factory=None):
+    pp = PipelineTrainer(
+        model, dataclasses.replace(train_cfg, grad_accum=1), TOTAL_STEPS,
+        STEPS_PER_EPOCH, n_stages=n_stages, n_microbatches=M, dp=dp,
+        state=state, tx_factory=tx_factory,
+    )
+    losses = [pp.step(b)["loss"] for b in batches]
+    return pp, losses
+
+
+def test_stage_names():
+    assert stage_names(2) == (
+        ("preprocess", "encoder"), ("decoder", "postprocess")
+    )
+    assert stage_names(4) == (
+        ("preprocess",), ("encoder",), ("decoder",), ("postprocess",)
+    )
+    with pytest.raises(ValueError):
+        stage_names(5)
+
+
+@pytest.mark.parametrize("n_stages,M,dp", [(2, 2, 1), (4, 2, 1), (2, 2, 2)])
+def test_pipeline_lockstep_sgd(n_stages, M, dp):
+    """S-stage GPipe == grad_accum=M single-device, raw SGD, 3 steps."""
+    if len(jax.devices()) < n_stages * dp:
+        pytest.skip("not enough devices")
+    sgd = optax.sgd(1e-5)
+    model_cfg, train_cfg, model, state, _ = _setup(tx=sgd, grad_accum=M)
+    batches = _batches(3)
+
+    ref_state, ref_losses = _run_single(
+        model, sgd, train_cfg, _copy(state), batches
+    )
+    pp, pp_losses = _run_pipeline(
+        model, train_cfg, _copy(state), batches, n_stages, M, dp=dp,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+
+    for lr_, lp_ in zip(ref_losses, pp_losses):
+        assert abs(lr_ - lp_) < 1e-4 * max(abs(lr_), 1.0)
+    merged = pp.merged_state()
+    assert _max_delta(ref_state.params, merged.params) < 2e-6
+    assert _max_delta(ref_state.batch_stats, merged.batch_stats) < 2e-6
+
+
+def test_pipeline_lockstep_production_optimizer():
+    """Per-stage Adamax + cosine + spectral projection == the global
+    optimizer (all transforms are tree-local), at a stable lr."""
+    M = 2
+    model_cfg, train_cfg, model, state, tx = _setup(grad_accum=M, lr=1e-5)
+    batches = _batches(3)
+
+    ref_state, ref_losses = _run_single(
+        model, tx, train_cfg, _copy(state), batches
+    )
+    pp, pp_losses = _run_pipeline(
+        model, train_cfg, _copy(state), batches, 2, M
+    )
+
+    for lr_, lp_ in zip(ref_losses, pp_losses):
+        assert abs(lr_ - lp_) < 1e-4 * max(abs(lr_), 1.0)
+    merged = pp.merged_state()
+    # Adamax updates are ~±lr per coordinate regardless of grad magnitude
+    # (m-hat/u ≈ ±1), so fp32 reduction-order noise on near-zero grads (BN
+    # biases) flips update signs — bound by the update scale, exactly like
+    # the Adamax segment of dryrun_multichip.  The SGD lockstep above is
+    # the tight numerics check; this test validates the per-stage
+    # Adamax+cosine+spectral-projection plumbing (losses match to 1e-4).
+    assert _max_delta(ref_state.params, merged.params) < 3 * 1e-5 * len(batches)
+
+
+def test_pipeline_forward_spectral_parity_mode():
+    """'forward' (TFA-parity) spectral mode: the per-call power-iteration
+    state chains through the pipeline exactly like the grad-accum scan."""
+    M = 2
+    model_cfg, train_cfg, model, state, _ = _setup(
+        spectral_mode="forward", tx=optax.sgd(1e-5), grad_accum=M
+    )
+    assert state.spectral, "forward mode must carry a spectral collection"
+    batches = _batches(2)
+
+    ref_state, ref_losses = _run_single(
+        model, optax.sgd(1e-5), train_cfg, _copy(state), batches
+    )
+    pp, pp_losses = _run_pipeline(
+        model, train_cfg, _copy(state), batches, 2, M,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+
+    for lr_, lp_ in zip(ref_losses, pp_losses):
+        assert abs(lr_ - lp_) < 1e-4 * max(abs(lr_), 1.0)
+    merged = pp.merged_state()
+    assert _max_delta(ref_state.params, merged.params) < 2e-6
+    assert _max_delta(ref_state.spectral, merged.spectral) < 2e-6
+
+
+def test_merged_state_roundtrip_continues_training():
+    """merged_state -> load_state resumes the identical trajectory."""
+    M = 2
+    model_cfg, train_cfg, model, state, _ = _setup(tx=optax.sgd(1e-5),
+                                                   grad_accum=M)
+    batches = _batches(4)
+
+    pp, _ = _run_pipeline(
+        model, train_cfg, _copy(state), batches, 2, M,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+    # Reference: one continuous 4-step run.
+    ref_state, _ = _run_single(
+        model, optax.sgd(1e-5), train_cfg, _copy(state), batches
+    )
+
+    # Round-trip at step 2: rebuild a second pipeline from the merged state.
+    pp2, _ = _run_pipeline(
+        model, train_cfg, _copy(state), batches[:2], 2, M,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+    mid = pp2.merged_state()
+    assert int(mid.step) == 2
+    pp3 = PipelineTrainer(
+        model, dataclasses.replace(train_cfg, grad_accum=1), TOTAL_STEPS,
+        STEPS_PER_EPOCH, n_stages=2, n_microbatches=M,
+        state=mid, tx_factory=lambda: optax.sgd(1e-5),
+    )
+    for b in batches[2:]:
+        pp3.step(b)
+    assert _max_delta(ref_state.params, pp3.merged_state().params) < 2e-6
+
+
+def test_trainer_pipeline_mode(tmp_path):
+    """Trainer.fit drives the pipeline path end-to-end: epoch loop, merged
+    state sync, checkpointing, and resume (restore_opt round-trip)."""
+    from nvae_tpu.data import make_iterators, synthetic_dataset
+    from nvae_tpu.train.trainer import Trainer
+
+    model_cfg = debug_config()
+    tc = TrainConfig(
+        epochs=2, batch_size=8, step_based_warmup=True,
+        pipeline_stages=2, pipeline_microbatches=2,
+        model_save_dir=str(tmp_path / "m"),
+        sample_frequency=100, evaluate_frequency=0, model_save_frequency=1,
+    )
+    bundle = synthetic_dataset(n_train=16, n_test=8, seed=0)
+    train_iter, _ = make_iterators(bundle, 8, seed=0)
+
+    trainer = Trainer(model_cfg, tc, steps_per_epoch=len(train_iter))
+    assert trainer._pp is not None and trainer.step_fn is None
+    result = trainer.fit(train_iter)
+    assert np.isfinite(result.history[-1]["loss"])
+    assert int(result.state.step) == 2 * len(train_iter)
+
+    # Resume: a fresh Trainer picks up the merged checkpoint (per-stage
+    # opt_state tuple) and reloads it into the pipeline.
+    trainer2 = Trainer(model_cfg, tc, steps_per_epoch=len(train_iter))
+    start = trainer2.maybe_resume()
+    assert start == 2
+    assert trainer2._pp.step_count == 2 * len(train_iter)
+    assert _max_delta(
+        trainer2._pp.merged_state().params, result.state.params
+    ) < 1e-7
+
+
+def test_pipeline_does_not_consume_callers_state():
+    """Regression: device_put aliases arrays already on the target device,
+    and the pipeline's donating update deleted the CALLER's state through
+    the alias (caught by the dryrun pipeline segment).  load_state must
+    take ownership with a copy."""
+    model_cfg, train_cfg, model, state, _ = _setup(tx=optax.sgd(1e-5))
+    pp = PipelineTrainer(
+        model, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH,
+        n_stages=2, n_microbatches=2, state=state,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+    pp.step(_batches(1)[0])
+    # Every caller-owned leaf must still be alive and readable.
+    for leaf in jax.tree.leaves(state.params):
+        np.asarray(leaf)
+
+
+def test_pipeline_rejects_grad_accum():
+    model_cfg, train_cfg, model, state, _ = _setup(grad_accum=4)
+    with pytest.raises(ValueError, match="grad_accum"):
+        PipelineTrainer(
+            model, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH,
+            n_stages=2, state=state,
+        )
