@@ -22,10 +22,75 @@ cross-platform lowering are tested in ``tests/test_export.py``.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scale"],
+    meta_fields=["orig_dtype"],
+)
+@dataclasses.dataclass
+class QuantizedLeaf:
+    """A weight tensor stored as int8 + per-output-channel fp32 scales.
+
+    Weight-only symmetric quantization: ``w ≈ q * scale`` with
+    ``q ∈ [-127, 127]``.  The artifact bakes the int8 constants (4x smaller
+    than fp32, 2x smaller than bf16); dequantization is a single fused
+    elementwise multiply at serving time, so the matmuls/convs still run in
+    the model's compute dtype on the MXU.
+    """
+
+    q: jax.Array       # int8, original shape
+    scale: jax.Array   # float32, broadcastable (per-output-channel)
+    orig_dtype: str    # dequantization target dtype
+
+
+def quantize_params_int8(params, min_elems: int = 4096):
+    """Per-output-channel symmetric int8 quantization of large weight
+    tensors (conv kernels / dense matrices); small leaves (biases, BN
+    scales, spectral ``u`` vectors) stay in their float dtype — they are
+    a rounding-error share of the bytes and the most precision-sensitive.
+    """
+
+    def leaf(x):
+        if not (
+            hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.size >= min_elems
+            and x.ndim >= 2
+        ):
+            return x
+        absmax = jnp.max(
+            jnp.abs(x), axis=tuple(range(x.ndim - 1)), keepdims=True
+        )
+        scale = jnp.maximum(absmax.astype(jnp.float32), 1e-12) / 127.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
+        return QuantizedLeaf(q=q, scale=scale, orig_dtype=str(x.dtype))
+
+    return jax.tree.map(leaf, params)
+
+
+def dequantize_params(params):
+    """Inverse of :func:`quantize_params_int8` (identity on float leaves).
+    Traced inside the exported function, so the artifact carries the int8
+    constants and XLA fuses the multiply into the consumers."""
+
+    def leaf(x):
+        if isinstance(x, QuantizedLeaf):
+            return (x.q.astype(jnp.float32) * x.scale).astype(x.orig_dtype)
+        return x
+
+    return jax.tree.map(
+        leaf, params, is_leaf=lambda x: isinstance(x, QuantizedLeaf)
+    )
 
 
 def build_sampler(model, variables, n_samples: int,
@@ -34,13 +99,17 @@ def build_sampler(model, variables, n_samples: int,
 
     ``key_data`` is ``jax.random.key_data(key)`` (uint32[2]) so the exported
     calling convention has no custom-PRNG-type surface; ``temperature`` is a
-    traced f32 scalar.
+    traced f32 scalar.  ``variables["params"]`` may contain
+    :class:`QuantizedLeaf` entries (int8 weight-only serving) — they are
+    dequantized inside the traced function.
     """
 
     def sampler(key_data: jax.Array, temperature: jax.Array) -> jax.Array:
         rng = jax.random.wrap_key_data(key_data)
+        vs = dict(variables)
+        vs["params"] = dequantize_params(variables["params"])
         images, _, _, _ = model.apply(
-            variables,
+            vs,
             n_samples,
             temperature,
             True,

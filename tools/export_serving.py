@@ -82,10 +82,20 @@ def export_artifact(args):
         state = restore_checkpoint(os.path.abspath(args.ckpt), state)
         print(f"Restored checkpoint: {args.ckpt} (step {int(state.step)})")
 
-    from nvae_tpu.serving import build_sampler, cast_params, export_sampler
+    from nvae_tpu.serving import (
+        build_sampler,
+        cast_params,
+        export_sampler,
+        quantize_params_int8,
+    )
 
     params = state.params
-    if args.weights_dtype:
+    if args.weights_dtype == "int8":
+        # Weight-only int8: large kernels -> int8 + per-channel scales
+        # (4x smaller constants than fp32), dequantized inside the traced
+        # function; compute stays in the model's compute dtype.
+        params = quantize_params_int8(params)
+    elif args.weights_dtype:
         params = cast_params(params, args.weights_dtype)
     variables = {
         "params": params,
@@ -131,6 +141,20 @@ def export_artifact(args):
         )
         print(f"check OK: artifact == live model "
               f"(max |d| = {float(abs(np.asarray(live) - np.asarray(served)).max()):.2e})")
+        if args.weights_dtype == "int8":
+            # Quantization-quality report: int8 serving outputs vs the
+            # full-precision weights, same key/temperature.
+            full_vars = {**variables, "params": state.params}
+            full = jax.jit(
+                build_sampler(
+                    model, full_vars, args.batch, args.scale_temperatures
+                )
+            )(kd, t)
+            d = np.abs(np.asarray(full) - np.asarray(served))
+            print(json.dumps({
+                "int8_vs_fp_max_abs": float(d.max()),
+                "int8_vs_fp_mean_abs": float(d.mean()),
+            }))
     return args.out
 
 
@@ -184,8 +208,12 @@ def main(argv=None):
     p.add_argument("--platforms", default="cpu,tpu",
                    help="Comma-separated lowering targets")
     p.add_argument("--weights_dtype", default="",
-                   help="Cast baked-in weights (e.g. bfloat16) — halves "
-                        "the artifact and serving HBM; BN stats stay fp32")
+                   help="Cast baked-in weights: bfloat16 halves the "
+                        "artifact and serving HBM (BN stats stay fp32); "
+                        "int8 = weight-only per-channel quantization of "
+                        "the large kernels (4x smaller constants, "
+                        "dequantized on the fly; prints a quality report "
+                        "with --check)")
     p.add_argument("--check", action="store_true",
                    help="After export: deserialize + compare vs live model")
     p.add_argument("--seed", type=int, default=0)
