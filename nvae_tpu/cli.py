@@ -134,6 +134,11 @@ def parse_args(argv=None):
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="GPipe microbatches per optimizer step (0 = "
                         "pp_stages); the pipeline's gradient accumulation")
+    p.add_argument("--pp_schedule", choices=("1f1b", "gpipe"), default="1f1b",
+                   help="Pipeline dispatch order: 1f1b bounds the "
+                        "boundary-activation stash at O(stages); gpipe is "
+                        "classic fill-drain (O(microbatches)). Bitwise "
+                        "identical results either way")
     p.add_argument("--postprocess_depthwise", action="store_true",
                    help="Depthwise postprocess 5x5 (the form the reference "
                         "intended but left commented out, postprocess.py:76; "
@@ -235,6 +240,7 @@ def build_configs(args, bundle):
         data_parallel=args.data_parallel,
         pipeline_stages=args.pp_stages,
         pipeline_microbatches=args.pp_microbatches,
+        pipeline_schedule=args.pp_schedule,
     )
     return model_cfg, train_cfg
 
@@ -323,6 +329,7 @@ def main(argv=None):
             data_parallel=args.data_parallel,
             pipeline_stages=args.pp_stages,
             pipeline_microbatches=args.pp_microbatches,
+            pipeline_schedule=args.pp_schedule,
         )
         args.dataset = train_cfg.dataset
         args.batch_size = train_cfg.batch_size

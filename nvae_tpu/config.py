@@ -258,6 +258,12 @@ class TrainConfig:
     # each stage (0 = devices/stages).
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0
+    # Pipeline dispatch schedule: "1f1b" interleaves one backward chain
+    # behind each forward chain (peak boundary-activation stash O(stages),
+    # independent of microbatch count); "gpipe" is the classic fill-drain
+    # (stash O(microbatches)).  Both accumulate per-stage gradients in the
+    # same microbatch order, so they are bitwise identical in result.
+    pipeline_schedule: str = "1f1b"
 
 
 # The default MNIST configuration used across tests and benchmarks.

@@ -15,10 +15,14 @@ runs a GPipe fill-drain schedule over ``M`` microbatches:
   inter-device traffic (direct device-to-device transfers; ICI on a TPU
   slice).
 - **Schedule = async dispatch:** the host enqueues the per-stage jitted
-  programs in microbatch order; XLA's asynchronous dispatch overlaps stage
-  ``s`` on microbatch ``i`` with stage ``s+1`` on microbatch ``i-1`` exactly
-  as the dependency DAG allows.  No hand-written scheduler thread is needed
-  — the device queues *are* the pipeline.
+  programs; XLA's asynchronous dispatch overlaps stage ``s`` on microbatch
+  ``i`` with stage ``s+1`` on microbatch ``i-1`` exactly as the dependency
+  DAG allows.  No hand-written scheduler thread is needed — the device
+  queues *are* the pipeline.  Two dispatch orders are provided
+  (``pipeline_schedule``): classic GPipe fill-drain, and the default
+  **1F1B** interleave (one backward chain dispatched behind each forward
+  chain) whose peak boundary-activation stash is O(stages) instead of
+  O(microbatches) — same bubble, same numerics, bounded memory.
 - **Backward = rematerialized VJP (GPipe's memory model):** only the stage
   *inputs* are stashed per microbatch; the backward program recomputes the
   stage forward under ``jax.vjp``.  Activation memory per device is
@@ -168,6 +172,7 @@ class PipelineTrainer:
         dp: int = 1,
         state: Optional[TrainState] = None,
         tx_factory=None,
+        schedule: Optional[str] = None,
     ):
         if getattr(train_cfg, "grad_accum", 1) > 1:
             raise ValueError(
@@ -184,6 +189,16 @@ class PipelineTrainer:
         self.n_microbatches = n_microbatches or n_stages
         self.names = stage_names(n_stages)
         self.penalty_mode = self.cfg.spectral_mode == "penalty"
+        if schedule is None:
+            schedule = getattr(train_cfg, "pipeline_schedule", "1f1b")
+        if schedule not in ("gpipe", "1f1b"):
+            raise ValueError(
+                f"pipeline_schedule must be 'gpipe' or '1f1b', got {schedule!r}"
+            )
+        self.schedule = schedule
+        # Observability: peak number of stashed microbatch boundary tuples
+        # across the last step() (gpipe: M; 1f1b: <=2 regardless of M).
+        self.peak_stash = 0
 
         devices = list(devices) if devices is not None else jax.devices()
         need = n_stages * dp
@@ -385,10 +400,22 @@ class PipelineTrainer:
         return st.u if st is not None else None
 
     def step(self, batch) -> dict:
-        """One GPipe fill-drain optimizer step over ``n_microbatches``.
+        """One pipelined optimizer step over ``n_microbatches``.
 
         Matches ``make_train_step``'s ``grad_accum=n_microbatches`` step
         bit-for-bit up to fp32 reduction order (see module docstring).
+
+        Two dispatch schedules, numerically identical (per-stage gradients
+        accumulate in microbatch order under both):
+
+        - ``gpipe``: classic fill-drain — all forward chains, then all
+          backward chains.  Stashes M boundary tuples per stage at peak.
+        - ``1f1b`` (default): the backward chain of microbatch ``i-1`` is
+          dispatched right behind the forward chain of microbatch ``i``, so
+          each non-last stage's device queue runs F0,F1,B0,F2,B1,… — one
+          forward in flight ahead of the oldest unconsumed backward.  Peak
+          stash is <=2 tuples per stage regardless of M (GPipe's O(M)
+          activation memory becomes O(1)), with the same bubble fraction.
         """
         S, M = self.n_stages, self.n_microbatches
         B = batch.shape[0]
@@ -406,20 +433,22 @@ class PipelineTrainer:
             for i in range(M)
         ]
 
-        saved: List[List[tuple]] = [[None] * M for _ in range(S - 1)]
-        ct_last: List = [None] * M
+        saved: List[dict] = [{} for _ in range(S - 1)]  # stage -> {mb: tuple}
+        ct_last: dict = {}
         grads: List = [None] * S
         metrics_acc: List[dict] = []
         stage_pens: dict = {}  # stage -> penalty value (constant across mbs)
+        self.peak_stash = 0
 
-        # Fill: forward through stages 0..S-2, fused forward+backward on the
-        # last stage (it needs no cotangent from anyone).
-        for i in range(M):
+        def fwd_chain(i: int) -> None:
+            # Forward through stages 0..S-2, fused forward+backward on the
+            # last stage (it needs no cotangent from anyone).
             x_i = batch[i * mb : (i + 1) * mb]
             ins = jax.device_put(x_i, self._batch_shardings[0])
             for s in range(S - 1):
                 rng_s = jax.device_put(keys[i], self._param_shardings[s])
                 saved[s][i] = (ins, self.bstats[s], self.spect[s], rng_s)
+                self.peak_stash = max(self.peak_stash, len(saved[s]))
                 outs, self.bstats[s], self.spect[s] = self._fwd[s](
                     self.params[s], self.bstats[s], self.spect[s], ins, rng_s
                 )
@@ -434,12 +463,12 @@ class PipelineTrainer:
             ct_last[i] = gi
             metrics_acc.append(m_i)
 
-        # Drain: backward through stages S-2..0 per microbatch.
-        for i in range(M):
-            ct = ct_last[i]
+        def bwd_chain(i: int) -> None:
+            # Backward through stages S-2..0, releasing the stash as it goes.
+            ct = ct_last.pop(i)
             for s in range(S - 2, -1, -1):
                 ct = jax.device_put(ct, self._batch_shardings[s])
-                ins_s, bs_s, sp_s, rng_s = saved[s][i]
+                ins_s, bs_s, sp_s, rng_s = saved[s].pop(i)
                 gp, gi, pen = self._bwd[s](
                     self.params[s], bs_s, sp_s, ins_s, rng_s, ct,
                     self._stage_sn_u(s),
@@ -451,6 +480,18 @@ class PipelineTrainer:
                     # so mb 0's value stands in for the mean (exactly as the
                     # scan mean over identical values does).
                     stage_pens[s] = pen
+
+        if self.schedule == "gpipe":
+            for i in range(M):
+                fwd_chain(i)
+            for i in range(M):
+                bwd_chain(i)
+        else:  # 1f1b
+            for i in range(M):
+                fwd_chain(i)
+                if i >= 1:
+                    bwd_chain(i - 1)
+            bwd_chain(M - 1)
         saved = None  # release boundary stash before the updates
 
         gnorm_sq = 0.0

@@ -249,6 +249,46 @@ def test_pipeline_does_not_consume_callers_state():
         np.asarray(leaf)
 
 
+@pytest.mark.parametrize("n_stages", [2, 3])
+def test_1f1b_bitwise_equals_gpipe_with_bounded_stash(n_stages):
+    """The 1F1B dispatch order accumulates per-stage gradients in the same
+    microbatch order as fill-drain, so results are BITWISE equal — while the
+    peak boundary stash stays <=2 per stage instead of M."""
+    if len(jax.devices()) < n_stages:
+        pytest.skip("not enough devices")
+    M = 4
+    model_cfg, train_cfg, model, state, _ = _setup(tx=optax.sgd(1e-5),
+                                                   grad_accum=1)
+    batches = _batches(2)
+
+    runs = {}
+    for sched in ("gpipe", "1f1b"):
+        pp = PipelineTrainer(
+            model, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH,
+            n_stages=n_stages, n_microbatches=M, state=_copy(state),
+            tx_factory=lambda: optax.sgd(1e-5), schedule=sched,
+        )
+        losses = [pp.step(b)["loss"] for b in batches]
+        runs[sched] = (pp.merged_state(), losses, pp.peak_stash)
+
+    (st_g, losses_g, stash_g) = runs["gpipe"]
+    (st_f, losses_f, stash_f) = runs["1f1b"]
+    assert losses_g == losses_f  # identical dispatch programs + order
+    assert _max_delta(st_g.params, st_f.params) == 0.0
+    assert _max_delta(st_g.batch_stats, st_f.batch_stats) == 0.0
+    assert stash_g == M
+    assert stash_f <= 2
+
+
+def test_pipeline_rejects_bad_schedule():
+    model_cfg, train_cfg, model, state, _ = _setup(tx=optax.sgd(1e-5))
+    with pytest.raises(ValueError, match="pipeline_schedule"):
+        PipelineTrainer(
+            model, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH,
+            n_stages=2, state=state, schedule="interleaved",
+        )
+
+
 def test_pipeline_rejects_grad_accum():
     model_cfg, train_cfg, model, state, _ = _setup(grad_accum=4)
     with pytest.raises(ValueError, match="grad_accum"):
