@@ -26,6 +26,46 @@ def save_checkpoint(ckpt_dir: str, step: int, state) -> None:
         mgr.wait_until_finished()
 
 
+class AsyncCheckpointWriter:
+    """Persistent checkpoint manager with asynchronous (overlapped) saves.
+
+    ``save`` snapshots the state to host memory synchronously (so later
+    donation/mutation of the live train state cannot corrupt the write) and
+    serializes to disk in a background thread — the train loop keeps
+    stepping while the previous checkpoint is still being written, which
+    matters when the state is hundreds of MB and the step is milliseconds.
+    ``wait`` (or closing) blocks until every pending save is durable.
+
+    A save for a step <= the latest saved step is skipped (orbax's default
+    save policy), which makes the trainer's final save idempotent with the
+    last periodic one.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state) -> bool:
+        return self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -217,6 +217,10 @@ class Trainer:
         history = []
         best_loss, best_state, patience_left = float("inf"), None, tc.patience
         start_epoch = self.maybe_resume()
+        # Async checkpointing: periodic saves snapshot to host and write in
+        # the background while training continues; the context exit blocks
+        # until every pending write is durable.
+        writer = ckpt.AsyncCheckpointWriter(self.ckpt_dir)
 
         use_scan = tc.scan_epochs
         if use_scan:
@@ -239,115 +243,118 @@ class Trainer:
                     train_iter.sharding,
                 )
 
-        for epoch in range(start_epoch, tc.epochs):
-            t0 = time.time()
-            if profile_dir and epoch == start_epoch + 1:
-                jax.profiler.start_trace(profile_dir)
-            if use_scan:
-                n_batches = train_iter.batches_per_epoch
-                self.state, metrics = self._epoch_runner(
-                    self.state, self._staged_data, jnp.asarray(epoch)
-                )
-                agg = metrics  # already per-epoch means
-            elif self._pp is not None:
-                agg, n_batches = {}, 0
-                for batch in train_iter.epoch(epoch):
-                    metrics = self._pp.step(batch)
-                    n_batches += 1
-                    for k, v in metrics.items():
-                        agg[k] = agg.get(k, 0.0) + v
-                # Sync the merged view once per epoch so the image hooks,
-                # checkpoints and early stopping below see current weights.
-                self.state = self._pp.merged_state()
-            else:
-                agg, n_batches = {}, 0
-                for batch in train_iter.epoch(epoch):
-                    self.state, metrics = self.step_fn(self.state, batch)
-                    n_batches += 1
-                    for k, v in metrics.items():
-                        agg[k] = agg.get(k, 0.0) + v
-            # Fetching the metric values is the only reliable device barrier
-            # (block_until_ready can return early through tunnel runtimes).
-            denom = 1 if use_scan else n_batches
-            means = {k: float(np.asarray(v)) / denom for k, v in agg.items()}
-            if profile_dir and epoch == start_epoch + 1:
-                jax.profiler.stop_trace()
-            dt = time.time() - t0
-            means["epoch_seconds"] = dt
-            means["images_per_sec"] = n_batches * train_iter.batch_size / dt
-            history.append(means)
-            if self.logger and epoch % tc.log_frequency == 0:
-                self.logger.scalars(epoch, means, prefix="train/")
-
-            # Periodic held-out evaluation (the reference exposes
-            # --evaluate_frequency but never wires it, SURVEY §5; here it
-            # logs test ELBO pieces every N epochs).
-            if (
-                self.logger
-                and test_iter is not None
-                and tc.evaluate_frequency
-                and epoch % tc.evaluate_frequency == 0
-            ):
-                if self._eval_fn is None:
-                    from nvae_tpu.train.step import make_eval_step
-
-                    self._eval_fn = make_eval_step(self.model, tc)
-                # Average over the FULL held-out set (a single batch is
-                # noise at batch-size granularity; the proper loop costs
-                # one jitted forward per test batch every N epochs).
-                agg_e, n_e = {}, 0
-                for b_i, test_batch in enumerate(test_iter.epoch(0)):
-                    em = self._eval_fn(
-                        self.state, test_batch,
-                        jax.random.fold_in(
-                            self.state.rng, 13 + epoch * 1000 + b_i
-                        ),
+        try:
+            for epoch in range(start_epoch, tc.epochs):
+                t0 = time.time()
+                if profile_dir and epoch == start_epoch + 1:
+                    jax.profiler.start_trace(profile_dir)
+                if use_scan:
+                    n_batches = train_iter.batches_per_epoch
+                    self.state, metrics = self._epoch_runner(
+                        self.state, self._staged_data, jnp.asarray(epoch)
                     )
-                    n_e += 1
-                    for k, v in em.items():
-                        agg_e[k] = agg_e.get(k, 0.0) + float(np.asarray(v))
-                self.logger.scalars(
-                    epoch,
-                    {k: v / max(n_e, 1) for k, v in agg_e.items()},
-                    prefix="test/",
-                )
-
-            # Periodic image hooks (reference train.py:23-26).
-            if self.logger and epoch % tc.sample_frequency == 0:
-                for t in SAMPLE_TEMPERATURES:
-                    images, *_ = self.sample_images(3, t)
-                    self.logger.images(epoch, f"samples_t{t:.1f}", np.asarray(images))
-                if test_iter is not None:
-                    test_batch = next(iter(test_iter.epoch(0)))
-                    recon = self.reconstruct_images(test_batch)
-                    pair = np.concatenate(
-                        [np.asarray(test_batch[:3]), np.asarray(recon)], axis=2
-                    )
-                    self.logger.images(epoch, "test_reconstruction", pair)
-
-            if epoch % tc.model_save_frequency == 0:
-                ckpt.save_checkpoint(self.ckpt_dir, int(self.state.step), self.state)
-
-            if on_epoch_end is not None:
-                on_epoch_end(epoch, self, means)
-
-            # Early stopping on training loss (reference EarlyStopping default).
-            if tc.patience:
-                if means["loss"] < best_loss - 1e-9:
-                    best_loss, patience_left = means["loss"], tc.patience
-                    # Device-to-device snapshot (jnp.copy): the step fn
-                    # donates its input state, so a bare reference would be
-                    # invalidated — but the copy never leaves HBM (no
-                    # ~0.5 GB device->host transfer per improving epoch).
-                    best_state = jax.tree.map(jnp.copy, self.state)
+                    agg = metrics  # already per-epoch means
+                elif self._pp is not None:
+                    agg, n_batches = {}, 0
+                    for batch in train_iter.epoch(epoch):
+                        metrics = self._pp.step(batch)
+                        n_batches += 1
+                        for k, v in metrics.items():
+                            agg[k] = agg.get(k, 0.0) + v
+                    # Sync the merged view once per epoch so the image hooks,
+                    # checkpoints and early stopping below see current weights.
+                    self.state = self._pp.merged_state()
                 else:
-                    patience_left -= 1
-                    if patience_left <= 0:
-                        if best_state is not None:
-                            self.state = best_state
-                        break
-            else:
-                best_loss = min(best_loss, means["loss"])
+                    agg, n_batches = {}, 0
+                    for batch in train_iter.epoch(epoch):
+                        self.state, metrics = self.step_fn(self.state, batch)
+                        n_batches += 1
+                        for k, v in metrics.items():
+                            agg[k] = agg.get(k, 0.0) + v
+                # Fetching the metric values is the only reliable device barrier
+                # (block_until_ready can return early through tunnel runtimes).
+                denom = 1 if use_scan else n_batches
+                means = {k: float(np.asarray(v)) / denom for k, v in agg.items()}
+                if profile_dir and epoch == start_epoch + 1:
+                    jax.profiler.stop_trace()
+                dt = time.time() - t0
+                means["epoch_seconds"] = dt
+                means["images_per_sec"] = n_batches * train_iter.batch_size / dt
+                history.append(means)
+                if self.logger and epoch % tc.log_frequency == 0:
+                    self.logger.scalars(epoch, means, prefix="train/")
 
-        ckpt.save_checkpoint(self.ckpt_dir, int(self.state.step), self.state)
+                # Periodic held-out evaluation (the reference exposes
+                # --evaluate_frequency but never wires it, SURVEY §5; here it
+                # logs test ELBO pieces every N epochs).
+                if (
+                    self.logger
+                    and test_iter is not None
+                    and tc.evaluate_frequency
+                    and epoch % tc.evaluate_frequency == 0
+                ):
+                    if self._eval_fn is None:
+                        from nvae_tpu.train.step import make_eval_step
+
+                        self._eval_fn = make_eval_step(self.model, tc)
+                    # Average over the FULL held-out set (a single batch is
+                    # noise at batch-size granularity; the proper loop costs
+                    # one jitted forward per test batch every N epochs).
+                    agg_e, n_e = {}, 0
+                    for b_i, test_batch in enumerate(test_iter.epoch(0)):
+                        em = self._eval_fn(
+                            self.state, test_batch,
+                            jax.random.fold_in(
+                                self.state.rng, 13 + epoch * 1000 + b_i
+                            ),
+                        )
+                        n_e += 1
+                        for k, v in em.items():
+                            agg_e[k] = agg_e.get(k, 0.0) + float(np.asarray(v))
+                    self.logger.scalars(
+                        epoch,
+                        {k: v / max(n_e, 1) for k, v in agg_e.items()},
+                        prefix="test/",
+                    )
+
+                # Periodic image hooks (reference train.py:23-26).
+                if self.logger and epoch % tc.sample_frequency == 0:
+                    for t in SAMPLE_TEMPERATURES:
+                        images, *_ = self.sample_images(3, t)
+                        self.logger.images(epoch, f"samples_t{t:.1f}", np.asarray(images))
+                    if test_iter is not None:
+                        test_batch = next(iter(test_iter.epoch(0)))
+                        recon = self.reconstruct_images(test_batch)
+                        pair = np.concatenate(
+                            [np.asarray(test_batch[:3]), np.asarray(recon)], axis=2
+                        )
+                        self.logger.images(epoch, "test_reconstruction", pair)
+
+                if epoch % tc.model_save_frequency == 0:
+                    writer.save(int(self.state.step), self.state)
+
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, self, means)
+
+                # Early stopping on training loss (reference EarlyStopping default).
+                if tc.patience:
+                    if means["loss"] < best_loss - 1e-9:
+                        best_loss, patience_left = means["loss"], tc.patience
+                        # Device-to-device snapshot (jnp.copy): the step fn
+                        # donates its input state, so a bare reference would be
+                        # invalidated — but the copy never leaves HBM (no
+                        # ~0.5 GB device->host transfer per improving epoch).
+                        best_state = jax.tree.map(jnp.copy, self.state)
+                    else:
+                        patience_left -= 1
+                        if patience_left <= 0:
+                            if best_state is not None:
+                                self.state = best_state
+                            break
+                else:
+                    best_loss = min(best_loss, means["loss"])
+
+            writer.save(int(self.state.step), self.state)
+        finally:
+            writer.close()
         return TrainResult(state=self.state, history=history, best_loss=best_loss)

@@ -104,6 +104,38 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_async_checkpoint_writer_snapshot_semantics(tmp_path):
+    """AsyncCheckpointWriter.save snapshots the state BEFORE returning:
+    mutating (or donating) the live train state while the background write
+    is still in flight must not corrupt the checkpoint, and a re-save of
+    the same step is an idempotent no-op (the trainer's final save)."""
+    from nvae_tpu.config import TrainConfig, debug_config
+    from nvae_tpu.train import checkpoint as ckpt
+    from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.train.step import make_train_step
+
+    model_cfg = debug_config(n_groups_per_scale=(1, 1), n_latent_per_group=2,
+                             n_encoder_channels=8, n_decoder_channels=8)
+    tc = TrainConfig(batch_size=8, step_based_warmup=True)
+    model, state, tx = create_train_state(model_cfg, tc, 10)
+    snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    d = str(tmp_path / "ckpt")
+    step_fn = make_train_step(model, tx, tc, 10, 5)  # donates its input
+    batch = np.random.default_rng(0).random((8, 32, 32, 1)).astype("float32")
+    batch = (batch > 0.5).astype("float32")
+    with ckpt.AsyncCheckpointWriter(d) as w:
+        assert w.save(0, state)
+        # Donate/overwrite the live state while the save may be in flight.
+        state, _ = step_fn(state, batch)
+        assert not w.save(0, state)  # same step: skipped, not clobbered
+        w.wait()
+    restored = ckpt.restore_checkpoint(d, state, step=0)
+    for a, b in zip(jax.tree.leaves(snapshot),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_presets_all_valid():
     from nvae_tpu.presets import PRESETS, get_preset
 
