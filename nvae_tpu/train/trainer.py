@@ -39,6 +39,10 @@ class TrainResult:
     state: TrainState
     history: list
     best_loss: float
+    # True when training stopped early on SIGTERM/SIGINT (preemption
+    # notice); the final checkpoint holds the full state at that step and
+    # a fresh Trainer auto-resumes from it.
+    interrupted: bool = False
 
 
 class Trainer:
@@ -221,6 +225,23 @@ class Trainer:
         # the background while training continues; the context exit blocks
         # until every pending write is durable.
         writer = ckpt.AsyncCheckpointWriter(self.ckpt_dir)
+        # Preemption-safe training: on SIGTERM/SIGINT (a TPU-pod preemption
+        # notice, a scheduler kill, Ctrl-C) finish the current step, write a
+        # full-state checkpoint, and return cleanly with interrupted=True —
+        # the run resumes exactly where it left off (reference capability:
+        # none; its crash story is manual extrapolation, SURVEY §5).
+        self._interrupted = False
+        prev_handlers = {}
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            self._interrupted = True
+
+        for _sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                prev_handlers[_sig] = _signal.signal(_sig, _on_signal)
+            except ValueError:  # not the main thread
+                pass
 
         use_scan = tc.scan_epochs
         if use_scan:
@@ -261,6 +282,8 @@ class Trainer:
                         n_batches += 1
                         for k, v in metrics.items():
                             agg[k] = agg.get(k, 0.0) + v
+                        if self._interrupted:
+                            break
                     # Sync the merged view once per epoch so the image hooks,
                     # checkpoints and early stopping below see current weights.
                     self.state = self._pp.merged_state()
@@ -271,6 +294,8 @@ class Trainer:
                         n_batches += 1
                         for k, v in metrics.items():
                             agg[k] = agg.get(k, 0.0) + v
+                        if self._interrupted:
+                            break
                 # Fetching the metric values is the only reliable device barrier
                 # (block_until_ready can return early through tunnel runtimes).
                 denom = 1 if use_scan else n_batches
@@ -283,6 +308,10 @@ class Trainer:
                 history.append(means)
                 if self.logger and epoch % tc.log_frequency == 0:
                     self.logger.scalars(epoch, means, prefix="train/")
+
+                # Preemption exit: skip the hooks, drop to the final save.
+                if self._interrupted:
+                    break
 
                 # Periodic held-out evaluation (the reference exposes
                 # --evaluate_frequency but never wires it, SURVEY §5; here it
@@ -357,4 +386,9 @@ class Trainer:
             writer.save(int(self.state.step), self.state)
         finally:
             writer.close()
-        return TrainResult(state=self.state, history=history, best_loss=best_loss)
+            for _sig, _h in prev_handlers.items():
+                _signal.signal(_sig, _h)
+        return TrainResult(
+            state=self.state, history=history, best_loss=best_loss,
+            interrupted=self._interrupted,
+        )

@@ -92,3 +92,43 @@ def test_scan_epochs_path_matches_capability(tmp_path):
     for h in result.history:
         assert np.isfinite(h["loss"])
         assert np.isfinite(h["reconstruction_loss"])
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """A SIGTERM mid-run (TPU-pod preemption notice) stops training at the
+    next step boundary, writes a full-state checkpoint, and returns
+    interrupted=True; a fresh Trainer resumes from exactly that step."""
+    import os
+    import signal
+
+    from nvae_tpu.train import checkpoint as ckpt
+
+    model_cfg = _tiny_cfg()
+    train_cfg = TrainConfig(
+        epochs=50, batch_size=8, sample_frequency=1000,
+        model_save_frequency=1000, step_based_warmup=True,
+        model_save_dir=str(tmp_path / "m"),
+        tensorboard_log_dir=str(tmp_path / "l"),
+    )
+    bundle = synthetic_dataset(n_train=16, n_test=8, seed=3)
+    train_iter, _ = make_iterators(bundle, 8, seed=3)
+    trainer = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
+
+    def preempt_at_epoch_1(epoch, tr, means):
+        if epoch == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    result = trainer.fit(train_iter, on_epoch_end=preempt_at_epoch_1)
+    assert result.interrupted
+    assert len(result.history) < 50  # stopped early, not at the horizon
+    # The previous SIGTERM disposition is restored after fit().
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    # Full state at the interrupt step is durable on disk...
+    assert ckpt.latest_step(trainer.ckpt_dir) == int(result.state.step)
+    # ...and a fresh Trainer picks it up and continues.
+    trainer2 = Trainer(model_cfg, train_cfg, steps_per_epoch=len(train_iter))
+    start = trainer2.maybe_resume()
+    assert start == int(result.state.step) // len(train_iter)
+    assert int(trainer2.state.step) == int(result.state.step)
