@@ -296,3 +296,46 @@ def test_pipeline_rejects_grad_accum():
             model, train_cfg, TOTAL_STEPS, STEPS_PER_EPOCH,
             n_stages=2, state=state,
         )
+
+
+def test_pipeline_best_perf_config_bf16_depthwise():
+    """The best-perf model options (bf16 compute + bf16 BN apply +
+    depthwise postprocess) compose with pipeline parallelism: the PP step
+    must track the grad_accum single-device step under SGD within bf16
+    fusion noise, with params essentially equal at lr=1e-5.  Guards the
+    stage boundaries against dtype regressions (boundary activations are
+    bf16 here, fp32 in every other pipeline test)."""
+    M = 2
+    model_cfg = debug_config(
+        spectral_mode="projection",
+        compute_dtype="bfloat16",
+        bn_apply_dtype="bfloat16",
+        postprocess_5x5_depthwise=True,
+    )
+    train_cfg = TrainConfig(
+        epochs=3, batch_size=8, grad_accum=M,
+        step_based_warmup=True, learning_rate=1e-5,
+    )
+    sgd = optax.sgd(1e-5)
+    model, state, _ = create_train_state(
+        model_cfg, train_cfg, TOTAL_STEPS, tx=sgd
+    )
+    batches = _batches(3)
+
+    ref_state, ref_losses = _run_single(
+        model, sgd, train_cfg, _copy(state), batches
+    )
+    pp, pp_losses = _run_pipeline(
+        model, train_cfg, _copy(state), batches, 2, M,
+        tx_factory=lambda: optax.sgd(1e-5),
+    )
+
+    assert all(np.isfinite(pp_losses))
+    # bf16 forward: stage-split vs whole-graph XLA fusions may round
+    # differently, so the loss bound is looser than the fp32 lockstep.
+    for lr_, lp_ in zip(ref_losses, pp_losses):
+        assert abs(lr_ - lp_) < 2e-2 * max(abs(lr_), 1.0)
+    merged = pp.merged_state()
+    # Params move by <= 3 * lr * |grad_sign| per coordinate; bf16 grad
+    # noise perturbs that by a small fraction.
+    assert _max_delta(ref_state.params, merged.params) < 3e-5
