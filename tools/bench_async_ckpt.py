@@ -27,10 +27,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def log(*a):
@@ -43,7 +48,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n_train", type=int, default=14976)
     p.add_argument("--quick", action="store_true",
-                   help="Tiny debug model + 10 steps/epoch (CPU-safe smoke)")
+                   help="Tiny debug model, few steps (CPU-safe smoke); uses "
+                        "the per-step train loop because jax 0.8's XLA:CPU "
+                        "executes scan-epoch programs ~20x slower per step "
+                        "than the identical per-step program (CLAUDE.md), "
+                        "while the TPU path measured by the default mode "
+                        "has the opposite profile")
     args = p.parse_args(argv)
 
     import jax
@@ -54,6 +64,7 @@ def main(argv=None):
     from nvae_tpu.train import checkpoint as ckpt
     from nvae_tpu.train.epoch_runner import make_epoch_runner, stage_dataset
     from nvae_tpu.train.state import create_train_state
+    from nvae_tpu.train.step import make_train_step
 
     if args.quick:
         model_cfg = debug_config()
@@ -75,11 +86,37 @@ def main(argv=None):
     )
     log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params, "
         f"full train state {state_bytes / 1e6:.0f} MB")
-    runner = make_epoch_runner(
-        model, tx, train_cfg, total_steps, steps_per_epoch, donate=True
-    )
     bundle = synthetic_dataset(n_train=n_train, n_test=bs)
-    data = stage_dataset(bundle.train_x)
+    if args.quick:
+        # Per-step loop: XLA:CPU runs scan-epoch programs ~20x slower per
+        # step than the same step as its own program (CLAUDE.md).
+        step_fn = make_train_step(
+            model, tx, train_cfg, total_steps, steps_per_epoch, donate=True
+        )
+        x = bundle.train_x.astype("float32") / 255.0
+        if x.shape[1] < model_cfg.image_size:  # center-pad like prepare()
+            pad = model_cfg.image_size - x.shape[1]
+            lo, hi = pad // 2, pad - pad // 2
+            import numpy as np
+
+            x = np.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+        batches = jnp.asarray(
+            x.reshape(steps_per_epoch, bs, *x.shape[1:])
+        )
+
+        def run_one_epoch(state, e):
+            metrics = None
+            for i in range(steps_per_epoch):
+                state, metrics = step_fn(state, batches[i])
+            return state, metrics
+    else:
+        runner = make_epoch_runner(
+            model, tx, train_cfg, total_steps, steps_per_epoch, donate=True
+        )
+        data = stage_dataset(bundle.train_x)
+
+        def run_one_epoch(state, e):
+            return runner(state, data, jnp.asarray(e))
 
     def run(mode: str):
         """E epochs under one checkpointing discipline; returns
@@ -94,7 +131,7 @@ def main(argv=None):
         try:
             for e in range(args.epochs):
                 t0 = time.time()
-                state, metrics = runner(state, data, jnp.asarray(e))
+                state, metrics = run_one_epoch(state, e)
                 if mode == "sync":
                     float(metrics["loss"])  # device sync before the save
                     ckpt.save_checkpoint(ckpt_dir, e + 1, state)
@@ -117,7 +154,7 @@ def main(argv=None):
     # Warm the compile cache so mode 1 isn't charged for compilation.
     log("warmup epoch (compile)...")
     ws = jax.tree.map(jnp.copy, state0)
-    ws, m = runner(ws, data, jnp.asarray(0))
+    ws, m = run_one_epoch(ws, 0)
     float(m["loss"])
     del ws
 

@@ -23,8 +23,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def log(*a):
@@ -74,12 +79,12 @@ def main(argv=None):
     model, state, _ = create_train_state(
         model_cfg, TrainConfig(batch_size=16), total_steps=100
     )
-    variables = state.variables
+    variables = state.variables()
     if args.ckpt:
         from nvae_tpu.train.checkpoint import restore_checkpoint
 
         state = restore_checkpoint(args.ckpt, state)
-        variables = state.variables
+        variables = state.variables()
     log(f"init: {time.time() - t0:.1f}s")
 
     backend = jax.default_backend()
