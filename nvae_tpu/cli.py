@@ -428,18 +428,22 @@ def main(argv=None):
             json.dump(evaluation.to_dict(), f, indent=2)
     elif args.mode == "sample":
         trainer.maybe_resume()
-        from nvae_tpu.utils.images import sample_to_dir
+        from nvae_tpu.utils.images import sample_sweep_to_dirs, sample_to_dir
 
-        for t in [0.7, 0.8, 0.9, 1.0]:
-            out_dir = os.path.join(args.sample_dir, f"t_{t:.1f}")
-            n = sample_to_dir(
-                lambda n_, t_, b: np.asarray(trainer.sample_images(n_, t_)[0]),
-                args.batch_size,
-                args.n_samples,
-                t,
-                out_dir,
+        # The whole T sweep rides one batched dispatch per batch index
+        # (per-sample temperature vector) — see sample_sweep_to_dirs.
+        written = sample_sweep_to_dirs(
+            lambda n_, t_, b: np.asarray(trainer.sample_images(n_, t_)[0]),
+            args.batch_size,
+            args.n_samples,
+            [0.7, 0.8, 0.9, 1.0],
+            args.sample_dir,
+        )
+        for t, n in written.items():
+            print(
+                f"Wrote {n} samples at T={t} to "
+                f"{os.path.join(args.sample_dir, f't_{t:.1f}')}"
             )
-            print(f"Wrote {n} samples at T={t} to {out_dir}")
         if args.scale_temperatures:
             st = tuple(args.scale_temperatures)
             out_dir = os.path.join(args.sample_dir, "t_annealed")

@@ -384,6 +384,15 @@ class _Decoder(nn.Module):
         samples at ``scale_temperatures[s]`` (the multi-scale sampling control
         the CelebA configuration calls for; overrides ``temperature``).
 
+        Both temperature controls also accept a **per-sample** batch axis
+        (beyond the reference, which samples one scalar T per call,
+        models.py:137): ``temperature`` of shape ``(n_samples,)`` or
+        ``scale_temperatures`` of shape ``(n_scales, n_samples)`` give every
+        row of the batch its own temperature.  One dispatch then serves a
+        whole temperature sweep — the sequential 15-group decoder chain is
+        latency-bound at small batches (README ladder: 4x the rows is ~3x
+        the throughput), so batching the sweep beats per-T calls.
+
         Returns ``(features, last_s, z1, z2)`` where ``last_s`` is the input
         to the final group's combiner and ``z1``/``z2`` are two extra draws
         from the final group's prior — the state PPL's slerp interpolation
@@ -394,11 +403,17 @@ class _Decoder(nn.Module):
         if scale_temperatures is not None:
             assert len(scale_temperatures) == cfg.n_latent_scales
             scale_temperatures = jnp.asarray(scale_temperatures, jnp.float32)
+            if scale_temperatures.ndim == 2:  # (n_scales, n_samples)
+                assert scale_temperatures.shape[1] == n_samples
+                scale_temperatures = scale_temperatures[:, :, None, None, None]
         # Temperature is a TRACED scalar: one compiled program serves every
         # temperature (the eval protocol sweeps {0.6, 0.8, 1.0} and the image
         # hooks {0.7, 0.8, 0.9, 1.0} — per-temperature recompiles would cost
         # minutes each on remote devices).
         t_scalar = jnp.asarray(temperature, jnp.float32)
+        if t_scalar.ndim == 1:  # per-sample: broadcast over (B, H, W, C)
+            assert t_scalar.shape[0] == n_samples
+            t_scalar = t_scalar[:, None, None, None]
 
         def group_temp(scale: int, g_idx: int):
             if scale_temperatures is not None:

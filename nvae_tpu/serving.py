@@ -138,15 +138,25 @@ def cast_params(params, dtype):
 
 def export_sampler(model, variables, n_samples: int,
                    scale_temperatures: Optional[Sequence[float]] = None,
-                   platforms: Sequence[str] = ("cpu", "tpu")) -> bytes:
-    """Lower the sampler for ``platforms`` and serialize to bytes."""
+                   platforms: Sequence[str] = ("cpu", "tpu"),
+                   per_sample_temperature: bool = False) -> bytes:
+    """Lower the sampler for ``platforms`` and serialize to bytes.
+
+    ``per_sample_temperature`` exports the temperature input as an
+    ``f32[n_samples]`` vector instead of a scalar — each row of the served
+    batch gets its own temperature, so one artifact call serves a mixed-
+    temperature request batch (the dynamic-batching serving case: requests
+    with different temperatures share a dispatch instead of fragmenting
+    into per-temperature batches).
+    """
     from jax import export as jexport
 
     sampler = build_sampler(model, variables, n_samples, scale_temperatures)
     key_data = jax.random.key_data(jax.random.PRNGKey(0))
+    t_shape = (n_samples,) if per_sample_temperature else ()
     exported = jexport.export(jax.jit(sampler), platforms=list(platforms))(
         jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
-        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct(t_shape, jnp.float32),
     )
     return exported.serialize()
 

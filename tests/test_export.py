@@ -208,3 +208,37 @@ def test_serving_library_api(tmp_path):
     np.testing.assert_allclose(
         np.asarray(live), np.asarray(served), atol=1e-5
     )
+
+
+def test_export_per_sample_temperature(tmp_path):
+    """--per_sample_temperature exports an f32[batch] temperature input:
+    a uniform vector matches the scalar artifact bitwise (same key), and a
+    mixed vector gives each served row its own temperature."""
+    mod = _load_tool()
+    scalar_out = str(tmp_path / "scalar.shlo")
+    vec_out = str(tmp_path / "vec.shlo")
+    mod.main(["--out", scalar_out, "--debug", "--batch", "4",
+              "--platforms", "cpu"])
+    mod.main(["--out", vec_out, "--debug", "--batch", "4",
+              "--platforms", "cpu", "--per_sample_temperature", "--check"])
+
+    from jax import export as jexport
+
+    with open(scalar_out, "rb") as f:
+        scalar_art = jexport.deserialize(bytearray(f.read()))
+    with open(vec_out, "rb") as f:
+        vec_art = jexport.deserialize(bytearray(f.read()))
+    assert vec_art.in_avals[1].shape == (4,)
+    kd = jax.random.key_data(jax.random.PRNGKey(11))
+    a = np.asarray(scalar_art.call(kd, jnp.float32(0.8)))
+    b = np.asarray(vec_art.call(kd, jnp.full((4,), 0.8, jnp.float32)))
+    np.testing.assert_array_equal(a, b)
+    # Mixed batch: hot rows differ from the uniform-0.8 call, and the
+    # load_and_run CLI broadcasts its scalar --temperature to the vector.
+    mixed = np.asarray(
+        vec_art.call(kd, jnp.asarray([0.8, 0.8, 5.0, 5.0], jnp.float32))
+    )
+    np.testing.assert_array_equal(mixed[:2], b[:2])
+    assert np.abs(mixed[2:] - b[2:]).max() > 0
+    images = mod.main(["--load", vec_out, "--run", "--temperature", "0.9"])
+    assert images.shape[0] == 4

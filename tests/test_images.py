@@ -56,3 +56,40 @@ def test_native_writer_matches_pil(tmp_path):
     assert native_png.write_batch(paths, imgs) == 3
     for i, p in enumerate(paths):
         np.testing.assert_array_equal(np.asarray(Image.open(p)), imgs[i])
+
+
+def test_sample_sweep_to_dirs(tmp_path):
+    """One batched dispatch per batch index serves the whole temperature
+    sweep; rows land in the same per-temperature dirs as the sequential
+    sample_to_dir loop would."""
+    from nvae_tpu.utils.images import sample_sweep_to_dirs
+
+    calls = []
+
+    def fake_sample(n, t_vec, b):
+        calls.append((n, np.asarray(t_vec), b))
+        # Encode each row's temperature into its pixels so the splitter's
+        # row->dir routing is verifiable from the written files.
+        return np.tile(
+            np.asarray(t_vec, np.float32)[:, None, None, None] / 2.0,
+            (1, 4, 4, 1),
+        )
+
+    temps = [0.5, 1.0]
+    written = sample_sweep_to_dirs(fake_sample, 3, 6, temps, str(tmp_path))
+    assert written == {0.5: 6, 1.0: 6}
+    # 6 samples / batch 3 = 2 batched calls, each 2 temps x 3 rows = 6 rows.
+    assert len(calls) == 2
+    assert calls[0][0] == 6
+    np.testing.assert_array_equal(
+        calls[0][1], np.repeat(np.float32(temps), 3)
+    )
+    from nvae_tpu.utils.images import load_images_from_dir
+
+    for t in temps:
+        d = os.path.join(str(tmp_path), f"t_{t:.1f}")
+        back = load_images_from_dir(d)  # uint8 pixels
+        assert back.shape == (6, 4, 4, 1)
+        # Every row written to t_{t}/ carries that temperature's fill value.
+        expected = np.full_like(back, int(round(t / 2.0 * 255)))
+        np.testing.assert_allclose(back, expected, atol=1)

@@ -132,3 +132,32 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     start = trainer2.maybe_resume()
     assert start == int(result.state.step) // len(train_iter)
     assert int(trainer2.state.step) == int(result.state.step)
+
+
+def test_sample_images_sweep_matches_per_temperature_semantics(tmp_path):
+    """The batched sweep helper returns one n_per_t block per temperature,
+    and a single-temperature sweep is BITWISE the per-sample-vector call
+    (same rng) — the batching changes the dispatch count, not the math."""
+    import jax
+    import jax.numpy as jnp
+
+    model_cfg = _tiny_cfg()
+    train_cfg = TrainConfig(
+        epochs=1, batch_size=8, model_save_dir=str(tmp_path / "m"),
+        tensorboard_log_dir=str(tmp_path / "l"),
+    )
+    trainer = Trainer(model_cfg, train_cfg, steps_per_epoch=1)
+    rng = jax.random.PRNGKey(3)
+    sweep = trainer.sample_images_sweep(2, (0.7, 1.0), rng=rng)
+    assert set(sweep) == {0.7, 1.0}
+    for block in sweep.values():
+        assert block.shape == (2, 32, 32, 1)
+    direct, *_ = trainer.sample_images(
+        4, jnp.asarray([0.7, 0.7, 1.0, 1.0], jnp.float32), rng=rng
+    )
+    np.testing.assert_array_equal(
+        np.asarray(direct[:2]), np.asarray(sweep[0.7])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(direct[2:]), np.asarray(sweep[1.0])
+    )

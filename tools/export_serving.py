@@ -104,7 +104,8 @@ def export_artifact(args):
     }
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
     blob = export_sampler(
-        model, variables, args.batch, args.scale_temperatures, platforms
+        model, variables, args.batch, args.scale_temperatures, platforms,
+        per_sample_temperature=args.per_sample_temperature,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -115,8 +116,12 @@ def export_artifact(args):
         "platforms": platforms,
         "scale_temperatures": args.scale_temperatures,
         "weights_dtype": args.weights_dtype or "float32",
-        "calling_convention": "(rng_key_data_uint32, temperature_f32) -> "
-                              "images",
+        "per_sample_temperature": args.per_sample_temperature,
+        "calling_convention": (
+            "(rng_key_data_uint32, temperature_f32[batch]) -> images"
+            if args.per_sample_temperature
+            else "(rng_key_data_uint32, temperature_f32) -> images"
+        ),
         "bytes": len(blob),
     }
     with open(args.out + ".json", "w") as f:
@@ -134,6 +139,8 @@ def export_artifact(args):
         )
         kd = jax.random.key_data(jax.random.PRNGKey(42))
         t = jnp.float32(0.8)
+        if args.per_sample_temperature:
+            t = jnp.full((args.batch,), 0.8, jnp.float32)
         live = jax.jit(sampler)(kd, t)
         served = load_artifact(args.out).call(kd, t)
         np.testing.assert_allclose(
@@ -168,7 +175,9 @@ def load_and_run(args):
 
     exported = load_artifact(args.load)
     kd = jax.random.key_data(jax.random.PRNGKey(args.seed))
-    images = exported.call(kd, jnp.float32(args.temperature))
+    t_aval = exported.in_avals[1]
+    t = jnp.full(t_aval.shape, args.temperature, jnp.float32)  # () or (B,)
+    images = exported.call(kd, t)
     images = np.asarray(images)
     print(json.dumps({
         "artifact": args.load,
@@ -214,6 +223,11 @@ def main(argv=None):
                         "the large kernels (4x smaller constants, "
                         "dequantized on the fly; prints a quality report "
                         "with --check)")
+    p.add_argument("--per_sample_temperature", action="store_true",
+                   help="Export temperature as f32[batch] instead of a "
+                        "scalar: each served row gets its own temperature "
+                        "(mixed-temperature request batches share one "
+                        "dispatch)")
     p.add_argument("--check", action="store_true",
                    help="After export: deserialize + compare vs live model")
     p.add_argument("--seed", type=int, default=0)
