@@ -49,3 +49,26 @@ def test_bench_serving_artifact_quick(capsys):
     # Bernoulli means live in [0,1]; int8 weight rounding shifts them only
     # slightly.
     assert report["mean_abs_pixel_delta"] < 0.25
+
+
+def test_bench_serving_runtime_quick(capsys):
+    """Both workloads run on the debug model; the closed-loop report's
+    occupancy/dispatch accounting is internally consistent and the poisson
+    report carries the latency percentiles."""
+    mod = _load_tool("bench_serving_runtime")
+    results = mod.main(["--quick"])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(lines) == 2 and len(results) == 2
+    closed, poisson = results
+    assert closed["metric"] == "serving_runtime_closed_loop"
+    assert closed["value"] > 0
+    assert 0 < closed["occupancy"] <= 1
+    # Dispatches cover all rows at the static batch size.
+    assert closed["dispatches"] * 8 >= closed["rows"]
+    assert poisson["metric"] == "serving_runtime_poisson"
+    assert poisson["p50_ms"] <= poisson["p95_ms"] <= poisson["value"]
+    assert poisson["throughput_images_per_sec"] > 0
