@@ -1,0 +1,298 @@
+"""HTTP front end over the dynamic-batching sampler.
+
+The reference's only serving surface is ``train.py --mode sample``
+(``/root/reference/train.py:76-80``): load the model, loop over four fixed
+temperatures, write PNGs to disk.  A production TPU deployment wants a
+network service whose concurrent, mixed-temperature requests share compiled
+dispatches.  This module is that last layer: a stdlib ``ThreadingHTTPServer``
+where every request handler thread blocks on a
+:class:`~nvae_tpu.serving_runtime.BatchingSampler` future, so concurrency at
+the HTTP layer *is* the batching opportunity at the XLA layer — no extra
+queueing tier.
+
+Endpoints
+---------
+- ``POST /sample`` — body ``{"n": 16, "temperature": 0.8, "format": "npy"}``.
+  ``format`` one of:
+
+  - ``npy`` (default): the raw ``(n, H, W, C)`` float32 array, ``np.save``
+    bytes (``application/octet-stream``).
+  - ``png``: one tiled uint8 grid image (``image/png``), the reference's
+    ``tile_images`` layout.
+
+- ``GET /healthz`` — liveness + the serving batch shape.
+- ``GET /stats`` — dispatch/occupancy counters (``ServerStats``).
+
+Run ``python -m nvae_tpu.serving_http --preset mnist_step_sn --port 8000``
+(add ``--ckpt`` for trained weights; without it the server serves
+freshly-initialized weights, which is only useful for load testing).
+
+The server is intentionally stdlib-only: no web framework is baked into this
+environment, and the hot path is one ``Future.result()`` per request — the
+GIL is released inside XLA dispatch and the numpy copies, so handler threads
+scale to the batching window.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from nvae_tpu.serving_runtime import BatchingSampler
+
+MAX_REQUEST_ROWS = 4096  # one POST may span many dispatches, but not unbounded
+
+
+class SamplerHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer owning a :class:`BatchingSampler`.
+
+    ``daemon_threads`` so a hung client can't block process exit; the
+    sampler itself is closed by :meth:`shutdown_and_close` (drains the
+    backlog first, same contract as ``BatchingSampler.close``).
+    """
+
+    daemon_threads = True
+
+    def __init__(self, address, sampler: BatchingSampler,
+                 request_timeout_s: float = 600.0):
+        super().__init__(address, _Handler)
+        self.sampler = sampler
+        self.request_timeout_s = float(request_timeout_s)
+
+    def shutdown_and_close(self):
+        self.shutdown()
+        self.server_close()
+        self.sampler.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # Keep the default HTTP/1.0-style one-request-per-connection handling;
+    # per-request threads come from ThreadingHTTPServer.
+    server: SamplerHTTPServer
+
+    def log_message(self, fmt, *args):  # quiet by default; stats carry load
+        pass
+
+    # ---- helpers -------------------------------------------------------------
+
+    def _send(self, code: int, body: bytes, content_type: str):
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _error(self, code: int, message: str):
+        self._send_json(code, {"error": message})
+
+    # ---- GET -----------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(200, {
+                "status": "ok",
+                "batch_size": self.server.sampler.batch_size,
+                "max_delay_ms": self.server.sampler.max_delay_ms,
+            })
+        elif self.path == "/stats":
+            s = self.server.sampler.stats
+            self._send_json(200, {
+                "dispatches": s.dispatches,
+                "rows_served": s.rows_served,
+                "rows_padded": s.rows_padded,
+                "requests": s.requests,
+                "occupancy": round(s.occupancy, 4),
+            })
+        else:
+            self._error(404, f"unknown path {self.path!r}")
+
+    # ---- POST ----------------------------------------------------------------
+
+    def do_POST(self):
+        if self.path != "/sample":
+            return self._error(404, f"unknown path {self.path!r}")
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._error(400, "body must be a JSON object")
+        if not isinstance(req, dict):
+            return self._error(400, "body must be a JSON object")
+
+        n = req.get("n", 1)
+        temperature = req.get("temperature", 1.0)
+        fmt = req.get("format", "npy")
+        if not isinstance(n, int) or not 1 <= n <= MAX_REQUEST_ROWS:
+            return self._error(
+                400, f"n must be an int in [1, {MAX_REQUEST_ROWS}], got {n!r}")
+        if not isinstance(temperature, (int, float)) or not temperature > 0:
+            return self._error(
+                400, f"temperature must be > 0, got {temperature!r}")
+        if fmt not in ("npy", "png"):
+            return self._error(400, f"format must be npy or png, got {fmt!r}")
+
+        try:
+            fut = self.server.sampler.submit(n, float(temperature))
+        except RuntimeError as e:  # server closed
+            return self._error(503, str(e))
+        try:
+            images = fut.result(timeout=self.server.request_timeout_s)
+        except TimeoutError:
+            return self._error(504, "sampling timed out")
+        except Exception as e:  # sampler raised inside the dispatch
+            return self._error(500, f"sampler failed: {e}")
+
+        if fmt == "npy":
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(images, np.float32))
+            self._send(200, buf.getvalue(), "application/octet-stream")
+        else:
+            from PIL import Image
+
+            from nvae_tpu.utils.images import tile_images, to_uint8
+
+            grid = to_uint8(tile_images(np.asarray(images)))
+            if grid.shape[-1] == 1:
+                grid = grid[..., 0]
+            buf = io.BytesIO()
+            Image.fromarray(grid).save(buf, format="PNG")
+            self._send(200, buf.getvalue(), "image/png")
+
+
+def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
+          max_delay_ms: float = 10.0, seed: int = 0,
+          block: bool = True) -> SamplerHTTPServer:
+    """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
+    images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
+    thread and returns the server (tests; call ``shutdown_and_close``)."""
+    sampler = BatchingSampler(
+        call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed)
+    httpd = SamplerHTTPServer((host, port), sampler)
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.shutdown_and_close()
+    else:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
+
+
+def _build_call(args):
+    """Jitted per-sample-temperature sampler from a preset/checkpoint (the
+    live twin of the exported-artifact path in :mod:`nvae_tpu.serving`)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nvae_tpu.models import NVAE
+
+    if args.preset:
+        from nvae_tpu.presets import get_preset
+
+        model_cfg, _ = get_preset(args.preset)
+        overrides = {}
+        if args.compute_dtype:
+            overrides["compute_dtype"] = args.compute_dtype
+        if args.bn_apply_dtype:
+            overrides["bn_apply_dtype"] = args.bn_apply_dtype
+        if args.postprocess_depthwise:
+            overrides["postprocess_5x5_depthwise"] = True
+        if overrides:
+            model_cfg = dataclasses.replace(model_cfg, **overrides)
+    else:
+        from nvae_tpu.config import debug_config
+
+        model_cfg = debug_config()
+    model = NVAE(model_cfg)
+    B = args.batch
+
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, model_cfg.image_size, model_cfg.image_size,
+                       model_cfg.in_channels)),
+            True,
+        )
+    )()
+    if args.ckpt:
+        import os
+
+        from nvae_tpu.config import TrainConfig
+        from nvae_tpu.train.checkpoint import restore_checkpoint
+        from nvae_tpu.train.state import create_train_state
+
+        _, state, _ = create_train_state(model_cfg, TrainConfig(), 1)
+        state = restore_checkpoint(os.path.abspath(args.ckpt), state)
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            **({"spectral": state.spectral} if state.spectral else {}),
+        }
+
+    @jax.jit
+    def call(key_data, t_vec):
+        images, *_ = model.apply(
+            variables, B, t_vec,
+            rngs={"sample": jax.random.wrap_key_data(key_data)},
+            method=NVAE.sample,
+        )
+        return images
+
+    # Warm the compile before accepting traffic.
+    kd = jax.random.key_data(jax.random.PRNGKey(9))
+    float(call(kd, jnp.ones((B,), jnp.float32)).mean())
+    return call
+
+
+def _honor_env_platform():
+    # Plugin sitecustomize files (axon) force jax_platforms at import and
+    # silently override the JAX_PLATFORMS env var — re-assert it so the
+    # server can be pinned to CPU for local testing.
+    import os
+
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--preset", default="",
+                    help="Model preset (default: tiny debug model)")
+    ap.add_argument("--ckpt", default="",
+                    help="Checkpoint to serve (untrained weights otherwise)")
+    ap.add_argument("--compute_dtype", default="")
+    ap.add_argument("--bn_apply_dtype", default="")
+    ap.add_argument("--postprocess_depthwise", action="store_true")
+    ap.add_argument("--batch", type=int, default=144,
+                    help="Static serving batch (the packing target)")
+    ap.add_argument("--max_delay_ms", type=float, default=10.0)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    _honor_env_platform()
+    call = _build_call(args)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(batch {args.batch}, max_delay {args.max_delay_ms} ms)",
+          flush=True)
+    serve(call, args.batch, host=args.host, port=args.port,
+          max_delay_ms=args.max_delay_ms, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

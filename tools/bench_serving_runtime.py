@@ -31,6 +31,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _honor_env_platform():
+    # Plugin sitecustomize files (axon) force jax_platforms at import and
+    # silently override the JAX_PLATFORMS env var — re-assert it (same fix
+    # as __graft_entry__._honor_env_platform) so --quick is CPU-safe.
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+
 def build_call(args):
     import jax
     import jax.numpy as jnp
@@ -41,12 +52,17 @@ def build_call(args):
         from nvae_tpu.presets import get_preset
 
         model_cfg, _ = get_preset(args.preset)
-        if args.compute_dtype:
-            import dataclasses
+        import dataclasses
 
-            model_cfg = dataclasses.replace(
-                model_cfg, compute_dtype=args.compute_dtype
-            )
+        overrides = {}
+        if args.compute_dtype:
+            overrides["compute_dtype"] = args.compute_dtype
+        if args.bn_apply_dtype:
+            overrides["bn_apply_dtype"] = args.bn_apply_dtype
+        if args.postprocess_depthwise:
+            overrides["postprocess_5x5_depthwise"] = True
+        if overrides:
+            model_cfg = dataclasses.replace(model_cfg, **overrides)
     else:
         from nvae_tpu.config import debug_config
 
@@ -157,7 +173,14 @@ def run_poisson(args, call, per_dispatch):
     temps = rng.choice([0.6, 0.8, 1.0], size=n_req)
     sizes = rng.randint(1, args.max_request + 1, size=n_req)
 
+    # Latency is stamped by a done-callback at COMPLETION time — polling
+    # f.result() in submission order after the arrival loop would charge
+    # early requests the rest of the submission window (p50 ~ window/2
+    # artifact, observed before this fix).
+    import threading
+
     lat = []
+    lat_lock = threading.Lock()
     with BatchingSampler(
         call, args.batch, max_delay_ms=args.max_delay_ms
     ) as srv:
@@ -166,10 +189,17 @@ def run_poisson(args, call, per_dispatch):
         for i in range(n_req):
             time.sleep(gaps[i])
             t0 = time.monotonic()
-            pending.append((t0, srv.submit(int(sizes[i]), float(temps[i]))))
-        for t0, f in pending:
+            f = srv.submit(int(sizes[i]), float(temps[i]))
+
+            def _stamp(fut, t0=t0):
+                dt = time.monotonic() - t0
+                with lat_lock:
+                    lat.append(dt)
+
+            f.add_done_callback(_stamp)
+            pending.append(f)
+        for f in pending:
             f.result(timeout=600)
-            lat.append(time.monotonic() - t0)
         dt = time.monotonic() - t_start
         stats = srv.stats
     lat = np.asarray(sorted(lat))
@@ -197,6 +227,10 @@ def main(argv=None):
                     help="Model preset (default: tiny debug model)")
     ap.add_argument("--ckpt", default="", help="Checkpoint to serve")
     ap.add_argument("--compute_dtype", default="")
+    ap.add_argument("--bn_apply_dtype", default="")
+    ap.add_argument("--postprocess_depthwise", action="store_true",
+                    help="Serve the depthwise-postprocess variant (the "
+                         "best-config ladder entry)")
     ap.add_argument("--batch", type=int, default=144,
                     help="Static serving batch (the packing target)")
     ap.add_argument("--requests", type=int, default=200)
@@ -213,6 +247,7 @@ def main(argv=None):
         args.batch, args.requests, args.qps = 8, 12, 200.0
         args.max_request = 4
 
+    _honor_env_platform()
     call, per_dispatch = build_call(args)
     out = []
     if args.workload in ("closed", "both"):
