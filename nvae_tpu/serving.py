@@ -136,6 +136,42 @@ def cast_params(params, dtype):
     )
 
 
+def build_mesh_sampler(model, variables, n_samples: int, mesh,
+                       per_sample_temperature: bool = False,
+                       scale_temperatures: Optional[Sequence[float]] = None):
+    """Data-parallel sampler over a device mesh: params replicated, the
+    served batch's rows split over the ``"data"`` axis, one jitted program
+    with GSPMD partitioning the whole generative chain.
+
+    The reference serves on however many GPUs one eager ``model.sample``
+    call touches (one, ``/root/reference/train.py:76-80``); the TPU serving
+    scale-out is this — same program, ``n_devices``× the batch per dispatch.
+    Output is bitwise-equal to the single-device sampler (partitionable
+    threefry: the per-row random bits don't depend on the mesh), so the
+    dynamic-batching runtime's replay guarantee survives sharding —
+    tested in tests/test_serving_mesh.py.
+
+    ``n_samples`` must be divisible by the data-axis size.  Returns a
+    jitted ``(key_data, temperature) -> images`` with committed shardings
+    (callers pass ordinary host arrays; outputs gather on ``np.asarray``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_data = mesh.shape["data"]
+    if n_samples % n_data:
+        raise ValueError(
+            f"serving batch {n_samples} not divisible by data axis {n_data}")
+    repl = NamedSharding(mesh, PartitionSpec())
+    rows = NamedSharding(mesh, PartitionSpec("data"))
+    variables = jax.device_put(variables, repl)
+    fn = build_sampler(model, variables, n_samples, scale_temperatures)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, rows if per_sample_temperature else repl),
+        out_shardings=rows,
+    )
+
+
 def export_sampler(model, variables, n_samples: int,
                    scale_temperatures: Optional[Sequence[float]] = None,
                    platforms: Sequence[str] = ("cpu", "tpu"),
