@@ -5,6 +5,8 @@ Modes:
   train   — run the jitted training loop with checkpoints + image hooks
   test    — full evaluation suite (IWAE NLL, FID, precision/recall, PPL)
   sample  — write sample PNGs at temperatures {0.7, 0.8, 0.9, 1.0}
+  serve   — dynamic-batching HTTP sampling service on the latest checkpoint
+            (the deployment surface the reference lacks; serving_http.py)
 
 Usage:
   python -m nvae_tpu.cli --mode train --dataset synthetic --debug --epochs 2
@@ -25,7 +27,8 @@ def parse_args(argv=None):
     # -- reference flags (train.py:145-297), same names and defaults --------
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--batch_size", type=int, default=144)
-    p.add_argument("--mode", type=str, choices=["train", "test", "sample"],
+    p.add_argument("--mode", type=str,
+                   choices=["train", "test", "sample", "serve"],
                    default="train")
     p.add_argument("--n_encoder_channels", type=int, default=32)
     p.add_argument("--n_decoder_channels", type=int, default=32)
@@ -146,6 +149,21 @@ def parse_args(argv=None):
     p.add_argument("--use_pallas", action="store_true",
                    help="Fused swish->depthwise-5x5 Pallas kernels on the "
                         "hot spots (same math; TPU only, interpret elsewhere)")
+    # Serving (--mode serve): the HTTP front end over the dynamic-batching
+    # sampler (serving_http.py); batch_size is the packing target, and with
+    # --data_parallel > 1 the sampler shards rows over the mesh
+    # (serving.build_mesh_sampler — bitwise-equal output either way).
+    p.add_argument("--serve_host", type=str, default="127.0.0.1")
+    p.add_argument("--serve_port", type=int, default=8000)
+    p.add_argument("--serve_max_delay_ms", type=float, default=10.0,
+                   help="Launch a partial batch once the oldest queued "
+                        "request has waited this long (latency/throughput "
+                        "knob; 0 = full batches only)")
+    p.add_argument("--serve_dtype", type=str, default="",
+                   choices=["", "bfloat16", "int8"],
+                   help="Weight serving dtype: bfloat16 casts params, int8 "
+                        "quantizes large kernels (serving.quantize_params_"
+                        "int8; measured 0.998x throughput, README)")
     # Evaluation protocol (reference hardcodes 10 attempts / {0.6,0.8,1.0} /
     # 10,000 FID samples at evaluate.py:58-156; configurable here).
     p.add_argument("--eval_attempts", type=int, default=10)
@@ -461,7 +479,62 @@ def main(argv=None):
             print(
                 f"Wrote {n} annealed samples (per-scale T={st}) to {out_dir}"
             )
+    elif args.mode == "serve":
+        start = trainer.maybe_resume()
+        print(f"Serving checkpoint at epoch {start} "
+              f"(untrained weights if 0 and no checkpoint)")
+        call = _build_serve_call(args, trainer, mesh)
+        from nvae_tpu.serving_http import serve
+
+        print(f"serving on http://{args.serve_host}:{args.serve_port} "
+              f"(batch {args.batch_size}, "
+              f"max_delay {args.serve_max_delay_ms} ms)", flush=True)
+        serve(call, args.batch_size, host=args.serve_host,
+              port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
+              seed=args.seed)
     logger.close()
+
+
+def _build_serve_call(args, trainer, mesh):
+    """The ``(key_data, f32[B]) -> images`` sampler for ``--mode serve``:
+    the trainer's current weights closed into one jitted program (mesh-
+    sharded rows when ``--data_parallel`` built a mesh), warmed before the
+    server accepts traffic.  ``--serve_dtype`` applies the weight-only
+    serving casts (bf16 / int8) from :mod:`nvae_tpu.serving`."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvae_tpu.serving import (
+        build_mesh_sampler,
+        build_sampler,
+        cast_params,
+        quantize_params_int8,
+    )
+
+    state = trainer.state
+    params = state.params
+    if args.serve_dtype == "bfloat16":
+        params = cast_params(params, jnp.bfloat16)
+    elif args.serve_dtype == "int8":
+        params = quantize_params_int8(params)
+    variables = {
+        "params": params,
+        "batch_stats": state.batch_stats,
+        **({"spectral": state.spectral} if state.spectral else {}),
+    }
+    st = tuple(args.scale_temperatures) if args.scale_temperatures else None
+    B = args.batch_size
+    if mesh is not None:
+        call = build_mesh_sampler(
+            trainer.model, variables, B, mesh,
+            per_sample_temperature=True, scale_temperatures=st,
+        )
+    else:
+        call = jax.jit(build_sampler(trainer.model, variables, B, st))
+    # Warm the compile before accepting traffic.
+    kd = jax.random.key_data(jax.random.PRNGKey(9))
+    float(jnp.asarray(call(kd, jnp.ones((B,), jnp.float32))).mean())
+    return call
 
 
 if __name__ == "__main__":

@@ -106,3 +106,75 @@ def test_preset_flags_not_clobbered_by_defaults(tmp_path, monkeypatch):
         cli.main(argv + ["--compute_dtype", "float32"])
     assert captured["model_cfg"].compute_dtype == "float32"
     assert captured["model_cfg"].bn_apply_dtype == "bfloat16"
+
+
+def _serve_argv(tmp_path, extra):
+    return [
+        "--mode", "serve", "--dataset", "synthetic", "--debug",
+        "--seed", "0", *TINY_ARCH,
+        "--model_save_dir", str(tmp_path / "models"),
+        "--sample_dir", str(tmp_path / "results"),
+        "--tensorboard_log_dir", str(tmp_path / "logs"),
+        *extra,
+    ]
+
+
+def test_serve_mode_wiring(tmp_path, monkeypatch):
+    """--mode serve hands the HTTP layer a warmed (key_data, f32[B]) ->
+    images sampler with the CLI's batch/host/port/delay knobs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nvae_tpu.serving_http as http_mod
+
+    captured = {}
+
+    def fake_serve(call_fn, batch_size, **kw):
+        captured.update(call_fn=call_fn, batch_size=batch_size, **kw)
+
+    monkeypatch.setattr(http_mod, "serve", fake_serve)
+    cli.main(_serve_argv(tmp_path, [
+        "--batch_size", "4", "--data_parallel", "1",
+        "--serve_port", "8123", "--serve_max_delay_ms", "3",
+        "--serve_dtype", "int8",
+    ]))
+    assert captured["batch_size"] == 4
+    assert captured["port"] == 8123
+    assert captured["max_delay_ms"] == 3.0
+    kd = jax.random.key_data(jax.random.PRNGKey(2))
+    t = jnp.full((4,), 0.8, jnp.float32)
+    imgs = np.asarray(captured["call_fn"](kd, t))
+    assert imgs.shape == (4, 32, 32, 1)
+    # Deterministic: the batching runtime's replay guarantee holds.
+    np.testing.assert_array_equal(imgs, np.asarray(captured["call_fn"](kd, t)))
+
+
+def test_serve_mode_uses_mesh_sampler(tmp_path, monkeypatch):
+    """With a data mesh configured, serve mode shards the served batch's
+    rows over the mesh (serving.build_mesh_sampler)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nvae_tpu.serving as serving_mod
+    import nvae_tpu.serving_http as http_mod
+
+    captured = {}
+    real_build = serving_mod.build_mesh_sampler
+
+    def spy_build(*a, **kw):
+        captured["mesh"] = a[3] if len(a) > 3 else kw["mesh"]
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(serving_mod, "build_mesh_sampler", spy_build)
+    monkeypatch.setattr(
+        http_mod, "serve",
+        lambda call_fn, batch_size, **kw: captured.update(call_fn=call_fn),
+    )
+    # data_parallel defaults to 0 = all devices (8 virtual CPU devices).
+    cli.main(_serve_argv(tmp_path, ["--batch_size", "8"]))
+    assert captured["mesh"].shape["data"] == len(jax.devices())
+    kd = jax.random.key_data(jax.random.PRNGKey(2))
+    t_vec = jnp.linspace(0.6, 1.1, 8).astype(jnp.float32)
+    assert np.asarray(captured["call_fn"](kd, t_vec)).shape == (8, 32, 32, 1)
