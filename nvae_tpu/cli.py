@@ -491,7 +491,7 @@ def main(argv=None):
               f"max_delay {args.serve_max_delay_ms} ms)", flush=True)
         serve(call, args.batch_size, host=args.serve_host,
               port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
-              seed=args.seed)
+              seed=args.seed, drain_signals=True)
     logger.close()
 
 

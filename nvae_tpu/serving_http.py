@@ -26,6 +26,12 @@ Endpoints
 Run ``python -m nvae_tpu.serving_http --preset mnist_step_sn --port 8000``
 (add ``--ckpt`` for trained weights; without it the server serves
 freshly-initialized weights, which is only useful for load testing).
+Or serve a ``jax.export`` artifact — the host then needs only jax + the
+file, no model code or checkpoint tree::
+
+    python tools/export_serving.py --out sampler.shlo --batch 144 \
+        --per_sample_temperature --ckpt models/...
+    python -m nvae_tpu.serving_http --artifact sampler.shlo --port 8000
 
 The server is intentionally stdlib-only: no web framework is baked into this
 environment, and the hot path is one ``Future.result()`` per request — the
@@ -166,15 +172,41 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, buf.getvalue(), "image/png")
 
 
+def drain_on_signals(httpd: SamplerHTTPServer, signals=None):
+    """Install preemption-safe shutdown: on SIGTERM/SIGINT, stop accepting
+    connections and drain every queued request before exiting (the
+    ``BatchingSampler.close`` contract — no future is ever stranded).  The
+    serving twin of the trainer's SIGTERM checkpoint-and-exit.  Returns the
+    handler for direct invocation in tests (handlers only install from the
+    main thread)."""
+    import signal as _signal
+
+    def handler(signum=None, frame=None):
+        # shutdown() blocks until serve_forever exits, so run the drain on
+        # a side thread and let the (possibly blocking) serve() caller's
+        # finally-clause second call no-op.
+        threading.Thread(target=httpd.shutdown_and_close).start()
+
+    if signals is None:
+        signals = (_signal.SIGTERM, _signal.SIGINT)
+    for sig in signals:
+        _signal.signal(sig, handler)
+    return handler
+
+
 def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
           max_delay_ms: float = 10.0, seed: int = 0,
-          block: bool = True) -> SamplerHTTPServer:
+          block: bool = True, drain_signals: bool = False) -> SamplerHTTPServer:
     """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
     images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
-    thread and returns the server (tests; call ``shutdown_and_close``)."""
+    thread and returns the server (tests; call ``shutdown_and_close``).
+    ``drain_signals`` installs the SIGTERM/SIGINT drain-then-exit handler
+    (main thread only — the production entry points set it)."""
     sampler = BatchingSampler(
         call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed)
     httpd = SamplerHTTPServer((host, port), sampler)
+    if drain_signals:
+        drain_on_signals(httpd)
     if block:
         try:
             httpd.serve_forever()
@@ -253,6 +285,35 @@ def _build_call(args):
     return call
 
 
+def _build_call_from_artifact(path: str):
+    """Load an exported StableHLO sampler and return ``(call, batch_size)``.
+
+    The artifact must have been exported with ``--per_sample_temperature``
+    (a ``f32[B]`` temperature input): the batching runtime packs mixed-
+    temperature rows into one dispatch, which a scalar-temperature artifact
+    cannot serve.  The static batch is read off the exported input aval —
+    no side-channel config needed on the serving host."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvae_tpu.serving import load_artifact
+
+    exported = load_artifact(path)
+    avals = exported.in_avals
+    if len(avals) != 2 or len(avals[1].shape) != 1:
+        raise SystemExit(
+            f"{path}: artifact temperature input has shape "
+            f"{avals[1].shape if len(avals) == 2 else '?'}; the HTTP server "
+            "needs a per-sample-temperature artifact (export with "
+            "--per_sample_temperature)"
+        )
+    batch = int(avals[1].shape[0])
+    call = jax.jit(exported.call)
+    kd = jax.random.key_data(jax.random.PRNGKey(9))
+    float(jnp.asarray(call(kd, jnp.ones((batch,), jnp.float32))).mean())
+    return call, batch
+
+
 def _honor_env_platform():
     # Plugin sitecustomize files (axon) force jax_platforms at import and
     # silently override the JAX_PLATFORMS env var — re-assert it so the
@@ -270,6 +331,11 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--artifact", default="",
+                    help="Serve an exported StableHLO sampler "
+                         "(tools/export_serving.py --per_sample_temperature)"
+                         "; batch size comes from the artifact and "
+                         "--preset/--ckpt/--batch are ignored")
     ap.add_argument("--preset", default="",
                     help="Model preset (default: tiny debug model)")
     ap.add_argument("--ckpt", default="",
@@ -286,12 +352,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     _honor_env_platform()
-    call = _build_call(args)
+    if args.artifact:
+        call, batch = _build_call_from_artifact(args.artifact)
+    else:
+        call, batch = _build_call(args), args.batch
     print(f"serving on http://{args.host}:{args.port} "
-          f"(batch {args.batch}, max_delay {args.max_delay_ms} ms)",
+          f"(batch {batch}, max_delay {args.max_delay_ms} ms)",
           flush=True)
-    serve(call, args.batch, host=args.host, port=args.port,
-          max_delay_ms=args.max_delay_ms, seed=args.seed)
+    serve(call, batch, host=args.host, port=args.port,
+          max_delay_ms=args.max_delay_ms, seed=args.seed,
+          drain_signals=True)
 
 
 if __name__ == "__main__":

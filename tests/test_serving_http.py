@@ -10,7 +10,7 @@ import jax
 import numpy as np
 import pytest
 
-from nvae_tpu.serving_http import serve
+from nvae_tpu.serving_http import drain_on_signals, serve
 from nvae_tpu.serving_runtime import PAD_TEMPERATURE
 
 
@@ -132,3 +132,86 @@ def test_unknown_paths_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(_url(server, "/nope"), timeout=10)
     assert ei.value.code == 404
+
+
+class TestArtifactServing:
+    """--artifact: the host serves an exported StableHLO sampler with only
+    jax + the file; batch size is read off the exported input aval."""
+
+    @pytest.fixture(scope="class")
+    def artifact(self, tmp_path_factory):
+        import jax.numpy as jnp
+
+        from nvae_tpu.config import debug_config
+        from nvae_tpu.models import NVAE
+        from nvae_tpu.serving import export_sampler
+
+        cfg = debug_config()
+        model = NVAE(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 32, 1)), True,
+        )
+        d = tmp_path_factory.mktemp("artifact")
+        blob = export_sampler(
+            model, variables, 4, platforms=["cpu"],
+            per_sample_temperature=True,
+        )
+        path = d / "sampler.shlo"
+        path.write_bytes(blob)
+        scalar = export_sampler(model, variables, 4, platforms=["cpu"])
+        scalar_path = d / "scalar.shlo"
+        scalar_path.write_bytes(scalar)
+        return str(path), str(scalar_path), model, variables
+
+    def test_batch_inferred_and_served(self, artifact):
+        import jax.numpy as jnp
+
+        from nvae_tpu.serving import build_sampler
+        from nvae_tpu.serving_http import _build_call_from_artifact
+
+        path, _, model, variables = artifact
+        call, batch = _build_call_from_artifact(path)
+        assert batch == 4
+        kd = jax.random.key_data(jax.random.PRNGKey(3))
+        t_vec = jnp.linspace(0.6, 1.0, 4).astype(jnp.float32)
+        direct = np.asarray(
+            jax.jit(build_sampler(model, variables, 4))(kd, t_vec))
+        np.testing.assert_array_equal(np.asarray(call(kd, t_vec)), direct)
+
+    def test_scalar_temperature_artifact_rejected(self, artifact):
+        from nvae_tpu.serving_http import _build_call_from_artifact
+
+        _, scalar_path, _, _ = artifact
+        with pytest.raises(SystemExit, match="per_sample_temperature"):
+            _build_call_from_artifact(scalar_path)
+
+    def test_http_over_artifact(self, artifact):
+        from nvae_tpu.serving_http import _build_call_from_artifact
+
+        path, _, _, _ = artifact
+        call, batch = _build_call_from_artifact(path)
+        httpd = serve(call, batch, port=0, max_delay_ms=0.0, block=False)
+        try:
+            status, ctype, body = _post(httpd, {"n": 4, "temperature": 0.8})
+            assert status == 200 and ctype == "application/octet-stream"
+            out = np.load(io.BytesIO(body))
+            assert out.shape == (4, 32, 32, 1)
+        finally:
+            httpd.shutdown_and_close()
+
+
+def test_drain_on_signal_resolves_queued_requests():
+    """The SIGTERM handler drains the backlog before exit: a partial batch
+    queued in full-batches-only mode (max_delay 0) is still served, and the
+    listener stops accepting."""
+    httpd = serve(_fake_sampler(4), 4, port=0, max_delay_ms=0.0, block=False)
+    fut = httpd.sampler.submit(2, 0.9)
+    assert not fut.done()  # 2 < 4 rows and no delay timeout: stays queued
+    handler = drain_on_signals(httpd, signals=())  # install-free handler
+    handler()
+    out = fut.result(timeout=30)
+    np.testing.assert_array_equal(out, _expected(4, 0, [0.9] * 2)[:2])
+    with pytest.raises(urllib.error.URLError):
+        urllib.request.urlopen(_url(httpd, "/healthz"), timeout=5)
