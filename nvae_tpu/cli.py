@@ -123,6 +123,14 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize residual cells (activation-memory "
                         "saver for deep/high-res configs)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="Exponential moving average of the params inside "
+                        "the optimizer (NVAE-paper style, e.g. 0.9999); "
+                        "0 disables. Evaluate/sample on the average with "
+                        "--use_ema")
+    p.add_argument("--use_ema", action="store_true",
+                   help="test/sample/serve modes: run on the EMA weights "
+                        "from the checkpoint (requires --ema_decay training)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="Microbatches per optimizer step (gradient "
                         "accumulation inside the jitted step; activation "
@@ -254,6 +262,11 @@ def build_configs(args, bundle):
         tensorboard_log_dir=args.tensorboard_log_dir,
         data_dir=args.data_dir,
         scan_epochs=args.scan_epochs,
+        # --use_ema alone (test/sample/serve on an EMA checkpoint) must
+        # still build an optimizer chain WITH the EmaState slot, or the
+        # orbax restore template won't match the on-disk tree; the decay
+        # value itself is irrelevant outside training updates.
+        ema_decay=args.ema_decay or (0.9999 if args.use_ema else 0.0),
         grad_accum=args.grad_accum,
         data_parallel=args.data_parallel,
         pipeline_stages=args.pp_stages,
@@ -416,7 +429,10 @@ def main(argv=None):
         )
     elif args.mode == "test":
         start = trainer.maybe_resume()
-        print(f"Evaluating checkpoint at epoch {start}")
+        if args.use_ema:
+            trainer.swap_in_ema()
+        print(f"Evaluating checkpoint at epoch {start}"
+              f"{' (EMA weights)' if args.use_ema else ''}")
         from nvae_tpu.eval.evaluate import evaluate_model
 
         evaluation = evaluate_model(
@@ -446,6 +462,8 @@ def main(argv=None):
             json.dump(evaluation.to_dict(), f, indent=2)
     elif args.mode == "sample":
         trainer.maybe_resume()
+        if args.use_ema:
+            trainer.swap_in_ema()
         from nvae_tpu.utils.images import sample_sweep_to_dirs, sample_to_dir
 
         # The whole T sweep rides one batched dispatch per batch index
@@ -481,8 +499,11 @@ def main(argv=None):
             )
     elif args.mode == "serve":
         start = trainer.maybe_resume()
+        if args.use_ema:
+            trainer.swap_in_ema()
         print(f"Serving checkpoint at epoch {start} "
-              f"(untrained weights if 0 and no checkpoint)")
+              f"(untrained weights if 0 and no checkpoint)"
+              f"{' (EMA weights)' if args.use_ema else ''}")
         call = _build_serve_call(args, trainer, mesh)
         from nvae_tpu.serving_http import serve
 

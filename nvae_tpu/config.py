@@ -241,6 +241,12 @@ class TrainConfig:
     # dataset; zero host round-trips between steps). Requires the training
     # set to fit in HBM as uint8 — true at reference scale.
     scan_epochs: bool = False
+    # Exponential moving average of the post-update params (NVAE paper
+    # evaluates with EMA weights, decay 0.9999; the reference has no EMA).
+    # 0 disables.  Maintained inside the optimizer state (train/optim.py
+    # track_ema) so checkpoints/FSDP/scan-epochs inherit it; use
+    # --use_ema in test/sample/serve modes to run on the averaged weights.
+    ema_decay: float = 0.0
     # Gradient accumulation: split each batch into N microbatches inside the
     # jitted step (lax.scan) — activation memory scales with the microbatch,
     # the optimizer sees the mean full-batch gradient.  Per-step path only

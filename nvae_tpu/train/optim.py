@@ -161,6 +161,59 @@ def spectral_penalty(params, u_tree, sr_lambda: float) -> jax.Array:
     return sr_lambda * total
 
 
+class EmaState(NamedTuple):
+    # Pytree congruent with params: the exponential moving average.
+    ema: object
+    count: jax.Array
+
+
+def track_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain an exponential moving average of the *post-update* params.
+
+    A capability beyond the reference (no EMA anywhere in
+    ``stevensdavid/nvae-tf``); the NVAE paper itself evaluates with EMA
+    weights (decay 0.9999).  Chained LAST in the optimizer so the average
+    tracks the final parameters (after Adamax *and* the spectral
+    projection), it rides inside ``opt_state`` — checkpointing, the
+    scan-epoch runner, and the FSDP layout (which shards any param-shaped
+    opt_state leaf) all inherit it with zero extra plumbing.
+
+    ``ema_0 = params_0`` (no zero-init bias), then
+    ``ema_{t+1} = decay * ema_t + (1 - decay) * params_{t+1}``.
+    """
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    def init_fn(params):
+        return EmaState(
+            ema=jax.tree.map(jnp.asarray, params),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("track_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema,
+            new_params,
+        )
+        return updates, EmaState(ema=ema, count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_ema_params(opt_state) -> Optional[object]:
+    """The EMA param tree inside an optax chain state, or None."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+    ):
+        if isinstance(s, EmaState):
+            return s.ema
+    return None
+
+
 def find_spectral_state(opt_state) -> Optional[SpectralState]:
     """Locate the SpectralState inside an optax chain state."""
     for s in jax.tree_util.tree_leaves(
@@ -187,4 +240,7 @@ def make_optimizer(
         parts.append(spectral_projection())
     elif spectral_mode == "penalty":
         parts.append(spectral_tracking())
+    if getattr(train_cfg, "ema_decay", 0.0) > 0.0:
+        # Last, so the average tracks post-projection parameters.
+        parts.append(track_ema(train_cfg.ema_decay))
     return optax.chain(*parts)

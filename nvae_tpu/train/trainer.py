@@ -120,6 +120,31 @@ class Trainer:
         self._eval_fn = None
         self._sampler_cache = {}
 
+    # ---- EMA --------------------------------------------------------------
+
+    def ema_params(self):
+        """The EMA parameter tree from the optimizer state, or None when
+        training ran without ``ema_decay``."""
+        from nvae_tpu.train.optim import find_ema_params
+
+        if self._pp is not None:
+            raise NotImplementedError(
+                "EMA params under pipeline parallelism carry per-stage "
+                "optimizer states; evaluate/sample from a checkpoint with "
+                "pipeline_stages=1 instead"
+            )
+        return find_ema_params(self.state.opt_state)
+
+    def swap_in_ema(self):
+        """Replace ``state.params`` with the EMA average (test/sample/serve
+        modes' ``--use_ema``).  Raises if the state carries no EMA."""
+        ema = self.ema_params()
+        if ema is None:
+            raise ValueError(
+                "no EMA in the optimizer state — train with --ema_decay"
+            )
+        self.state = self.state.replace(params=ema)
+
     # ---- sampling helpers -------------------------------------------------
 
     def sample_images(

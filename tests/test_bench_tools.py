@@ -72,3 +72,18 @@ def test_bench_serving_runtime_quick(capsys):
     assert poisson["metric"] == "serving_runtime_poisson"
     assert poisson["p50_ms"] <= poisson["p95_ms"] <= poisson["value"]
     assert poisson["throughput_images_per_sec"] > 0
+
+
+def test_bench_serving_http_quick(capsys):
+    """Concurrent HTTP clients drive the dynamic batcher end to end; the
+    report carries throughput, latency percentiles, and batch occupancy."""
+    mod = _load_tool("bench_serving_http")
+    mod.main(["--quick", "--max_delay_ms", "5"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(line)
+    assert report["metric"] == "serving_http"
+    assert report["requests"] > 0
+    assert report["img_per_s"] > 0
+    assert report["dispatches"] > 0
+    assert 0.0 < report["occupancy"] <= 1.0
+    assert report["p50_ms"] > 0 and report["p99_ms"] >= report["p50_ms"]
