@@ -59,9 +59,16 @@ class SamplerHTTPServer(ThreadingHTTPServer):
     ``daemon_threads`` so a hung client can't block process exit; the
     sampler itself is closed by :meth:`shutdown_and_close` (drains the
     backlog first, same contract as ``BatchingSampler.close``).
+
+    ``request_queue_size`` raises the listen(2) backlog from http.server's
+    default of 5: a dynamic-batching server EXPECTS bursts of concurrent
+    connections (that's where full batches come from), and at the default a
+    burst of ~50 clients gets connection-reset before accept() ever runs
+    (measured live by tools/bench_serving_http.py on the v5e host).
     """
 
     daemon_threads = True
+    request_queue_size = 512
 
     def __init__(self, address, sampler: BatchingSampler,
                  request_timeout_s: float = 600.0):

@@ -68,18 +68,22 @@ class _DispatchResult:
     (measured ~125 ms per fresh shape on CPU) and pay a dispatch round-trip
     even when warm."""
 
-    __slots__ = ("_images", "_np", "_lock")
+    __slots__ = ("_images", "_np", "_lock", "_on_done")
 
-    def __init__(self, images):
+    def __init__(self, images, on_done=None):
         self._images = images
         self._np = None
         self._lock = threading.Lock()
+        self._on_done = on_done
 
     def numpy(self) -> np.ndarray:
         with self._lock:
             if self._np is None:
                 self._np = np.asarray(self._images)
                 self._images = None  # free the device buffer
+                if self._on_done is not None:
+                    self._on_done()
+                    self._on_done = None
             return self._np
 
 
@@ -144,6 +148,18 @@ class BatchingSampler:
     seed:
         Base PRNG seed; dispatch ``d`` samples with
         ``fold_in(PRNGKey(seed), d)``.
+    partial_max_inflight:
+        Launch a *partial* batch only while fewer than this many dispatches
+        are in flight (launched but not yet materialized).  Every dispatch
+        costs full-batch device time regardless of fill, so firing the
+        ``max_delay_ms`` timer while earlier dispatches are still computing
+        floods the device with mostly-empty batches — measured live on the
+        v5e: occupancy 0.20 and 825 img/s at 48 clients without the
+        throttle, vs near-full batches with it.  While throttled, arriving
+        rows keep coalescing in the backlog (that wait is hidden behind the
+        in-flight compute).  2 keeps one dispatch queued behind the running
+        one, hiding the ~55 ms tunnel RTT.  FULL batches are never
+        throttled, and neither are ``flush``/``close`` drains.
     """
 
     def __init__(
@@ -152,10 +168,14 @@ class BatchingSampler:
         batch_size: int,
         max_delay_ms: float = 5.0,
         seed: int = 0,
+        partial_max_inflight: int = 2,
     ):
         self.call_fn = call_fn
         self.batch_size = int(batch_size)
         self.max_delay_ms = float(max_delay_ms)
+        self.partial_max_inflight = int(partial_max_inflight)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self.stats = ServerStats()
         self._base_key = jax.random.PRNGKey(seed)
         self._queue: "queue.Queue" = queue.Queue()
@@ -211,6 +231,18 @@ class BatchingSampler:
 
     # ---- worker -------------------------------------------------------------
 
+    def _dispatch_done(self):
+        """Fulfillment-side completion: a dispatch's device result has
+        materialized.  Wakes the worker (None sentinel) so a throttled
+        partial batch launches immediately instead of on the next poll."""
+        with self._inflight_lock:
+            self._inflight -= 1
+        self._queue.put(None)
+
+    def _inflight_count(self) -> int:
+        with self._inflight_lock:
+            return self._inflight
+
     def _key_data(self, dispatch_idx: int):
         return jax.random.key_data(
             jax.random.fold_in(self._base_key, dispatch_idx)
@@ -245,7 +277,9 @@ class BatchingSampler:
         # ONE device->host conversion per dispatch, shared by every rider —
         # the consumer's first numpy() pays the sync on the fulfillment
         # thread, so this worker keeps dispatching (pipelined).
-        result = _DispatchResult(images)
+        with self._inflight_lock:
+            self._inflight += 1
+        result = _DispatchResult(images, on_done=self._dispatch_done)
         row = 0
         for p in pendings:
             take = min(p.rows_left, B - row)
@@ -270,9 +304,11 @@ class BatchingSampler:
         def drain_nowait():
             while True:
                 try:
-                    backlog.append(self._queue.get_nowait())
+                    item = self._queue.get_nowait()
                 except queue.Empty:
                     return
+                if item is not None:  # None = dispatch-done wake sentinel
+                    backlog.append(item)
 
         while True:
             # Block for the next request (bounded so flush/close are seen),
@@ -283,16 +319,24 @@ class BatchingSampler:
                 deadline = backlog[0].t_enqueue + self.max_delay_ms / 1e3
                 timeout = min(max(deadline - time.monotonic(), 0.0), 0.05)
             try:
-                backlog.append(self._queue.get(timeout=timeout))
+                item = self._queue.get(timeout=timeout)
+                if item is not None:
+                    backlog.append(item)
             except queue.Empty:
                 pass
             drain_nowait()
 
             flush = self._flush.is_set()
             # Launch every full batch; launch a partial one on timeout/flush.
+            # Timeout partials are throttled on in-flight dispatches (see
+            # partial_max_inflight) — every dispatch costs full-batch device
+            # time, so while one is computing, let the backlog coalesce
+            # instead of flooding the device with mostly-empty batches.
+            # Flush/close drains and full batches are never throttled.
             while rows_waiting() >= B or (backlog and flush) or (
                 backlog
                 and self.max_delay_ms > 0
+                and self._inflight_count() < self.partial_max_inflight
                 and (time.monotonic() - backlog[0].t_enqueue) * 1e3
                 >= self.max_delay_ms
             ):

@@ -119,3 +119,63 @@ def test_runtime_over_real_model_matches_direct_call():
     ))
     np.testing.assert_array_equal(a, direct[:3])
     np.testing.assert_array_equal(b, direct[3:])
+
+
+class _SlowResult:
+    """Stand-in for an async device result: np.asarray blocks like a
+    device->host transfer behind pending compute."""
+
+    def __init__(self, arr, delay_s):
+        self._arr = arr
+        self._delay = delay_s
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(self._delay)
+        return self._arr if dtype is None else self._arr.astype(dtype)
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+
+def test_partial_batches_throttled_while_dispatch_inflight():
+    """The max_delay timer must NOT flood the device with mostly-empty
+    batches while earlier dispatches are still computing (measured live:
+    occupancy 0.20 at 48 HTTP clients pre-throttle).  With slow result
+    materialization and requests trickling in faster than results return,
+    rows coalesce: far fewer dispatches than requests, decent occupancy,
+    every row still served correctly."""
+    B = 8
+    base = _fake_sampler(B)
+
+    def slow_call(key_data, t_vec):
+        return _SlowResult(np.asarray(base(key_data, t_vec)), 0.1)
+
+    srv = BatchingSampler(slow_call, B, max_delay_ms=1.0,
+                          partial_max_inflight=1)
+    futs = []
+    try:
+        # Warm the jax ops on the worker path (fold_in/key_data compile
+        # ~150 ms on first use) — a cold first dispatch would serialize the
+        # whole request train behind it and mask the unthrottled behavior
+        # (12 dispatches at 0.125 occupancy, measured with the throttle
+        # disabled; 3 with it).
+        srv.submit(1, 0.7).result(timeout=30)
+        srv.stats.dispatches = 0
+        srv.stats.rows_served = 0
+        srv.stats.rows_padded = 0
+        for i in range(12):
+            futs.append(srv.submit(1, 0.7))
+            time.sleep(0.01)  # > max_delay: pre-throttle, ~1 dispatch each
+        outs = [f.result(timeout=30) for f in futs]
+    finally:
+        srv.close()
+    for o in outs:
+        assert o.shape == (1, 2, 2, 1)
+        # row value = temperature + key tag (tag < 1e-3): right row routing.
+        assert abs(float(o[0, 0, 0, 0]) - 0.7) < 1e-3
+    # 12 spaced requests pre-throttle = ~12 dispatches at 1/8 occupancy;
+    # with the throttle they coalesce while results materialize.
+    assert srv.stats.dispatches <= 6, srv.stats
+    assert srv.stats.occupancy >= 0.25, srv.stats
+    assert srv.stats.rows_served == 12
