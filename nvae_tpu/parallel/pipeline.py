@@ -91,6 +91,61 @@ def merge_trees(parts: Sequence[dict]) -> dict:
     return out
 
 
+_ALL_MODULES = frozenset(STAGE_MODULES)
+
+
+def merge_opt_states(parts: Sequence):
+    """Merge per-stage optimizer chain states into the single-device layout.
+
+    Every transform in the production chain (Adamax moments, SpectralState
+    u/sigma, EmaState) is tree-local: its state nests param-shaped dicts
+    keyed by the four stage modules, plus step counters that advance in
+    lockstep on every stage.  Merging is therefore structural: union the
+    module-keyed dicts, recurse through (Named)tuples, and keep the first
+    stage's copy of any shared scalar.  The result is bit-identical in
+    structure to ``make_optimizer(...).init(full_params)`` — which makes a
+    pipeline checkpoint restorable on ANY topology (single device, FSDP
+    mesh, or a different stage count)."""
+    p0 = parts[0]
+    if isinstance(p0, dict):
+        out: dict = {}
+        for part in parts:
+            for k, v in part.items():
+                out[k] = merge_opt_states([out[k], v]) if k in out else v
+        return out
+    if isinstance(p0, tuple) and hasattr(p0, "_fields"):  # NamedTuple
+        return type(p0)(
+            *(merge_opt_states([getattr(p, f) for p in parts])
+              for f in p0._fields)
+        )
+    if isinstance(p0, (tuple, list)):
+        return type(p0)(
+            merge_opt_states([p[i] for p in parts]) for i in range(len(p0))
+        )
+    return p0  # shared scalar (e.g. count): identical across stages
+
+
+def split_opt_state(opt_state, names: Sequence[str]):
+    """One stage's slice of a single-device optimizer chain state: the
+    inverse of :func:`merge_opt_states`.  Dicts keyed purely by stage-module
+    names are param-shaped — take this stage's keys; everything else
+    (NamedTuple fields, chain tuples, scalars) is structural or shared."""
+    names = tuple(names)
+
+    def rec(node):
+        if isinstance(node, dict):
+            if node and all(k in _ALL_MODULES for k in node):
+                return {k: node[k] for k in names if k in node}
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(rec(getattr(node, f)) for f in node._fields))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(opt_state)
+
+
 def _stage_method(names: Tuple[str, ...], train: bool):
     """An ``NVAE.apply`` method running a contiguous slice of the forward.
 
@@ -239,24 +294,18 @@ class PipelineTrainer:
                    restore_opt: bool = False):
         """Split a full train state across the stages (params, BN stats,
         spectral collection).  Optimizer state is rebuilt per stage, unless
-        ``restore_opt`` and ``state.opt_state`` is the per-stage tuple a
-        :meth:`merged_state` of the same pipeline shape produced — then the
-        Adamax moments / spectral vectors resume exactly."""
+        ``restore_opt`` — then ``state.opt_state`` must be the single-device
+        chain layout (what :meth:`merged_state` and ``make_optimizer().init``
+        both produce), and each stage takes its :func:`split_opt_state`
+        slice, resuming the Adamax moments / spectral vectors / EMA exactly.
+        Because the layout is topology-free, a checkpoint written by ANY
+        pipeline shape (or none) restores here."""
         if tx_factory is None:
             tx_factory = lambda: make_optimizer(  # noqa: E731
                 self.train_cfg, self.total_steps, self.cfg.spectral_mode
             )
         self.params, self.bstats, self.spect = [], [], []
         self.txs, self.opt = [], []
-        if restore_opt and not (
-            isinstance(state.opt_state, tuple)
-            and len(state.opt_state) == self.n_stages
-        ):
-            raise ValueError(
-                "restore_opt needs a per-stage opt_state tuple of length "
-                f"{self.n_stages} (from merged_state of an identical "
-                "pipeline shape)"
-            )
         def owned_put(tree, sharding):
             # device_put ALIASES arrays already on the target device; the
             # update programs donate params/opt, which would delete the
@@ -278,9 +327,17 @@ class PipelineTrainer:
             tx = tx_factory()
             self.txs.append(tx)
             if restore_opt:
-                self.opt.append(
-                    owned_put(state.opt_state[s], self._param_shardings[s])
-                )
+                part = split_opt_state(state.opt_state, names)
+                want = jax.eval_shape(tx.init, p)
+                if (jax.tree_util.tree_structure(part)
+                        != jax.tree_util.tree_structure(want)):
+                    raise ValueError(
+                        f"stage {s} optimizer state from the checkpoint does "
+                        "not match this run's optimizer chain (different "
+                        "spectral_mode / ema_decay?); re-run without opt "
+                        "restore or align the training config"
+                    )
+                self.opt.append(owned_put(part, self._param_shardings[s]))
             else:
                 self.opt.append(jax.jit(tx.init)(p))
         self.step_count = int(state.step)
@@ -289,10 +346,12 @@ class PipelineTrainer:
     def merged_state(self) -> TrainState:
         """Gather the stage trees back into a full :class:`TrainState`.
 
-        ``opt_state`` is the per-stage tuple (a valid pytree — orbax
-        checkpoints it round-trip); restoring into a pipeline of the same
-        shape via :meth:`load_state` + :attr:`opt` assignment, or use
-        params/batch_stats/spectral with the single-device optimizer afresh.
+        ``opt_state`` comes back in the single-device chain layout
+        (:func:`merge_opt_states`), so the checkpoint a pipeline run writes
+        is indistinguishable from a single-device / FSDP one: it restores
+        on any topology (sample/serve hosts, a different stage count, a
+        mesh), and :meth:`load_state` with ``restore_opt=True`` resumes the
+        exact optimizer moments here.
         """
         return TrainState(
             step=jnp.asarray(self.step_count, jnp.int32),
@@ -300,9 +359,25 @@ class PipelineTrainer:
             params=merge_trees([jax.device_get(p) for p in self.params]),
             batch_stats=merge_trees([jax.device_get(b) for b in self.bstats]),
             spectral=merge_trees([jax.device_get(sp) for sp in self.spect]),
-            opt_state=tuple(jax.device_get(o) for o in self.opt),
+            opt_state=merge_opt_states([jax.device_get(o) for o in self.opt]),
             rng=self.rng,
         )
+
+    def ema_params(self):
+        """Merged EMA parameter tree from the per-stage optimizer states,
+        or None when the stage optimizers track no EMA (ema_decay=0).
+
+        ``track_ema`` is tree-local (each stage's optax chain carries an
+        EmaState over exactly that stage's param subtree, updated from the
+        same per-step params the global chain would see), so the full
+        average is the stage-wise merge — the same recomposition
+        :meth:`merged_state` uses for params."""
+        from nvae_tpu.train.optim import find_ema_params
+
+        parts = [find_ema_params(o) for o in self.opt]
+        if any(p is None for p in parts):
+            return None
+        return merge_trees([jax.device_get(p) for p in parts])
 
     # ---- per-stage compiled programs ----------------------------------------
 

@@ -128,11 +128,9 @@ class Trainer:
         from nvae_tpu.train.optim import find_ema_params
 
         if self._pp is not None:
-            raise NotImplementedError(
-                "EMA params under pipeline parallelism carry per-stage "
-                "optimizer states; evaluate/sample from a checkpoint with "
-                "pipeline_stages=1 instead"
-            )
+            # Per-stage optimizer states each carry their own EmaState;
+            # the pipeline merges them back into the full param tree.
+            return self._pp.ema_params()
         return find_ema_params(self.state.opt_state)
 
     def swap_in_ema(self):

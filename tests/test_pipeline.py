@@ -24,11 +24,12 @@ STEPS_PER_EPOCH = 4
 TOTAL_STEPS = 12
 
 
-def _setup(spectral_mode="projection", tx=None, grad_accum=1, lr=1e-5):
+def _setup(spectral_mode="projection", tx=None, grad_accum=1, lr=1e-5,
+           ema_decay=0.0):
     model_cfg = debug_config(spectral_mode=spectral_mode)
     train_cfg = TrainConfig(
         epochs=3, batch_size=8, grad_accum=grad_accum,
-        step_based_warmup=True, learning_rate=lr,
+        step_based_warmup=True, learning_rate=lr, ema_decay=ema_decay,
     )
     model, state, tx = create_train_state(
         model_cfg, train_cfg, TOTAL_STEPS, tx=tx
@@ -141,6 +142,81 @@ def test_pipeline_lockstep_production_optimizer():
     assert _max_delta(ref_state.params, merged.params) < 3 * 1e-5 * len(batches)
 
 
+def test_pipeline_ema_params_match_single_device():
+    """EMA retrieval under PP: the per-stage EmaStates merge back to the
+    same average the single-device grad_accum=M chain tracks (track_ema is
+    tree-local, so stage-wise tracking == global tracking on the same
+    trajectory; bound = the Adamax update scale, as in the production
+    lockstep test above)."""
+    from nvae_tpu.train.optim import find_ema_params
+
+    M = 2
+    model_cfg, train_cfg, model, state, tx = _setup(
+        grad_accum=M, lr=1e-5, ema_decay=0.9
+    )
+    batches = _batches(3)
+
+    ref_state, _ = _run_single(model, tx, train_cfg, _copy(state), batches)
+    pp, _ = _run_pipeline(model, train_cfg, _copy(state), batches, 2, M)
+
+    ref_ema = find_ema_params(ref_state.opt_state)
+    pp_ema = pp.ema_params()
+    assert ref_ema is not None and pp_ema is not None
+    assert (jax.tree_util.tree_structure(ref_ema)
+            == jax.tree_util.tree_structure(pp_ema))
+    assert _max_delta(ref_ema, pp_ema) < 3 * 1e-5 * len(batches)
+    # EMA moved off the init params (decay 0.9 over 3 steps).
+    assert _max_delta(pp_ema, state.params) > 0
+
+    # Without ema_decay the stage chains carry no EmaState.
+    pp_plain, _ = _run_pipeline(
+        model, dataclasses.replace(train_cfg, ema_decay=0.0),
+        _copy(state), batches[:1], 2, M,
+    )
+    assert pp_plain.ema_params() is None
+
+
+def test_pp_checkpoint_restores_on_single_device(tmp_path):
+    """Topology-free checkpoints: a pipeline run's checkpoint restores
+    through orbax into a SINGLE-DEVICE state template (the sample/serve/
+    test-mode path), EMA included — merged_state's opt_state is the
+    single-device chain layout, not a per-stage tuple."""
+    from nvae_tpu.train import checkpoint as ckpt
+    from nvae_tpu.train.optim import find_ema_params
+
+    M = 2
+    model_cfg, train_cfg, model, state, tx = _setup(
+        grad_accum=M, lr=1e-5, ema_decay=0.9
+    )
+    pp, _ = _run_pipeline(model, train_cfg, _copy(state), _batches(2), 2, M)
+    merged = pp.merged_state()
+
+    # Same pytree structure as a fresh single-device state.
+    assert (jax.tree_util.tree_structure(merged.opt_state)
+            == jax.tree_util.tree_structure(state.opt_state))
+
+    ckpt.save_checkpoint(str(tmp_path / "c"), int(merged.step), merged)
+    restored = ckpt.restore_checkpoint(str(tmp_path / "c"), _copy(state))
+    assert _max_delta(restored.params, merged.params) == 0
+    ema = find_ema_params(restored.opt_state)
+    assert ema is not None
+    assert _max_delta(ema, pp.ema_params()) == 0
+
+    # And the reverse direction: a single-device run's state restores INTO
+    # a pipeline with exact optimizer moments (restore_opt).
+    sd_state, _ = _run_single(model, tx, train_cfg, _copy(state), _batches(2))
+    pp2 = PipelineTrainer(
+        model, dataclasses.replace(train_cfg, grad_accum=1), TOTAL_STEPS,
+        STEPS_PER_EPOCH, n_stages=2, n_microbatches=M, state=_copy(state),
+    )
+    pp2.load_state(jax.device_get(sd_state), restore_opt=True)
+    from nvae_tpu.parallel.pipeline import merge_opt_states
+    assert _max_delta(
+        merge_opt_states([jax.device_get(o) for o in pp2.opt]),
+        jax.device_get(sd_state.opt_state),
+    ) == 0
+
+
 def test_pipeline_forward_spectral_parity_mode():
     """'forward' (TFA-parity) spectral mode: the per-call power-iteration
     state chains through the pipeline exactly like the grad-accum scan."""
@@ -221,8 +297,8 @@ def test_trainer_pipeline_mode(tmp_path):
     assert np.isfinite(result.history[-1]["loss"])
     assert int(result.state.step) == 2 * len(train_iter)
 
-    # Resume: a fresh Trainer picks up the merged checkpoint (per-stage
-    # opt_state tuple) and reloads it into the pipeline.
+    # Resume: a fresh Trainer picks up the merged checkpoint (single-device
+    # chain layout) and splits it back into the pipeline stages.
     trainer2 = Trainer(model_cfg, tc, steps_per_epoch=len(train_iter))
     start = trainer2.maybe_resume()
     assert start == 2

@@ -217,6 +217,33 @@ def test_drain_on_signal_resolves_queued_requests():
         urllib.request.urlopen(_url(httpd, "/healthz"), timeout=5)
 
 
+def test_keepalive_connection_reused():
+    """HTTP/1.1 keep-alive: back-to-back requests on ONE connection all
+    succeed (no per-request TCP handshake / handler-thread spawn), and the
+    server advertises the persistent connection."""
+    import http.client
+
+    httpd = serve(_fake_sampler(4), 4, port=0, max_delay_ms=2.0, block=False)
+    host, port = httpd.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        for i in range(3):
+            body = json.dumps({"n": 2, "temperature": 0.8}).encode()
+            conn.request("POST", "/sample", body=body)
+            r = conn.getresponse()
+            assert r.version == 11
+            assert r.getheader("Connection", "keep-alive") != "close"
+            out = np.load(io.BytesIO(r.read()))
+            assert out.shape == (2, 4, 4, 1)
+        # GET endpoints ride the same connection.
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] == 3
+    finally:
+        conn.close()
+        httpd.shutdown_and_close()
+
+
 def test_connection_burst_not_reset():
     """A barrier-synchronized burst of concurrent connections must all be
     served: dynamic batching WANTS bursts (that's where full batches come

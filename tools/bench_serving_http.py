@@ -43,25 +43,34 @@ def log(*a):
 
 
 def _client_loop(httpd, deadline, max_n, rng, latencies, counts, stop):
-    import urllib.request
+    # One persistent HTTP/1.1 connection per client (the shape a production
+    # client pool has): the server keeps one handler thread per connection
+    # alive instead of paying TCP handshake + thread spawn per request.
+    import http.client
 
     host, port = httpd.server_address[:2]
-    url = f"http://{host}:{port}/sample"
+    conn = http.client.HTTPConnection(host, port, timeout=120)
     temps = (0.6, 0.7, 0.8, 0.9, 1.0)
-    while time.monotonic() < deadline and not stop.is_set():
-        n = int(rng.integers(1, max_n + 1))
-        t = float(temps[int(rng.integers(len(temps)))])
-        body = json.dumps({"n": n, "temperature": t}).encode()
-        t0 = time.monotonic()
-        try:
-            with urllib.request.urlopen(url, data=body, timeout=120) as r:
+    try:
+        while time.monotonic() < deadline and not stop.is_set():
+            n = int(rng.integers(1, max_n + 1))
+            t = float(temps[int(rng.integers(len(temps)))])
+            body = json.dumps({"n": n, "temperature": t}).encode()
+            t0 = time.monotonic()
+            try:
+                conn.request("POST", "/sample", body=body)
+                r = conn.getresponse()
                 payload = r.read()
-        except Exception as e:  # pragma: no cover - server gone / timeout
-            log(f"client error: {type(e).__name__}: {e}")
-            stop.set()
-            return
-        latencies.append((time.monotonic() - t0) * 1e3)
-        counts.append((1, n, len(payload)))
+                if r.status != 200:
+                    raise RuntimeError(f"HTTP {r.status}: {payload[:120]!r}")
+            except Exception as e:  # pragma: no cover - server gone / timeout
+                log(f"client error: {type(e).__name__}: {e}")
+                stop.set()
+                return
+            latencies.append((time.monotonic() - t0) * 1e3)
+            counts.append((1, n, len(payload)))
+    finally:
+        conn.close()
 
 
 def main(argv=None):
