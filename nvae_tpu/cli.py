@@ -504,58 +504,76 @@ def main(argv=None):
         print(f"Serving checkpoint at epoch {start} "
               f"(untrained weights if 0 and no checkpoint)"
               f"{' (EMA weights)' if args.use_ema else ''}")
-        call = _build_serve_call(args, trainer, mesh)
+        call, reloader_factory = _build_serve_call(args, trainer, mesh)
         from nvae_tpu.serving_http import serve
 
         print(f"serving on http://{args.serve_host}:{args.serve_port} "
               f"(batch {args.batch_size}, "
-              f"max_delay {args.serve_max_delay_ms} ms)", flush=True)
+              f"max_delay {args.serve_max_delay_ms} ms"
+              f"{', reloadable' if reloader_factory else ''})", flush=True)
         serve(call, args.batch_size, host=args.serve_host,
               port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
-              seed=args.seed, drain_signals=True)
+              seed=args.seed, drain_signals=True,
+              reloader_factory=reloader_factory)
     logger.close()
 
 
 def _build_serve_call(args, trainer, mesh):
-    """The ``(key_data, f32[B]) -> images`` sampler for ``--mode serve``:
-    the trainer's current weights closed into one jitted program (mesh-
-    sharded rows when ``--data_parallel`` built a mesh), warmed before the
-    server accepts traffic.  ``--serve_dtype`` applies the weight-only
-    serving casts (bf16 / int8) from :mod:`nvae_tpu.serving`."""
+    """The ``(key_data, f32[B]) -> images`` sampler for ``--mode serve``,
+    plus its hot-reload factory (``POST /reload`` / SIGHUP pull the latest
+    checkpoint the trainer wrote — zero-downtime deploy-follows-training).
+
+    Single-device serving uses :class:`~nvae_tpu.serving.ReloadableSampler`
+    (weights are a jit argument; a reload is a device transfer, not a
+    recompile).  Mesh serving (``--data_parallel``) keeps the fixed-weight
+    ``build_mesh_sampler`` program and returns no reloader.
+    ``--serve_dtype`` applies the weight-only serving casts (bf16 / int8)
+    on startup and on every reload."""
     import jax
     import jax.numpy as jnp
 
     from nvae_tpu.serving import (
+        ReloadableSampler,
         build_mesh_sampler,
-        build_sampler,
-        cast_params,
-        quantize_params_int8,
+        make_checkpoint_reloader,
+        variables_from_state,
     )
 
     state = trainer.state
-    params = state.params
-    if args.serve_dtype == "bfloat16":
-        params = cast_params(params, jnp.bfloat16)
-    elif args.serve_dtype == "int8":
-        params = quantize_params_int8(params)
-    variables = {
-        "params": params,
-        "batch_stats": state.batch_stats,
-        **({"spectral": state.spectral} if state.spectral else {}),
-    }
+    # params already hold the EMA average here if --use_ema (swap_in_ema
+    # ran in the serve-mode prologue); reloads re-extract it per request.
+    variables = variables_from_state(state)
     st = tuple(args.scale_temperatures) if args.scale_temperatures else None
     B = args.batch_size
+    reloader_factory = None
     if mesh is not None:
+        from nvae_tpu.serving import cast_params, quantize_params_int8
+
+        if args.serve_dtype == "bfloat16":
+            variables = {**variables,
+                         "params": cast_params(variables["params"],
+                                               jnp.bfloat16)}
+        elif args.serve_dtype == "int8":
+            variables = {**variables,
+                         "params": quantize_params_int8(variables["params"])}
         call = build_mesh_sampler(
             trainer.model, variables, B, mesh,
             per_sample_temperature=True, scale_temperatures=st,
         )
     else:
-        call = jax.jit(build_sampler(trainer.model, variables, B, st))
+        call = ReloadableSampler(
+            trainer.model, variables, B, scale_temperatures=st,
+            serve_dtype=args.serve_dtype,
+        )
+        call.step = int(state.step)
+        reloader = make_checkpoint_reloader(
+            call, trainer.ckpt_dir, state, use_ema=args.use_ema
+        )
+        reloader_factory = lambda _sampler: reloader  # noqa: E731
     # Warm the compile before accepting traffic.
     kd = jax.random.key_data(jax.random.PRNGKey(9))
     float(jnp.asarray(call(kd, jnp.ones((B,), jnp.float32))).mean())
-    return call
+    return call, reloader_factory
 
 
 if __name__ == "__main__":

@@ -136,6 +136,133 @@ def cast_params(params, dtype):
     )
 
 
+def variables_from_state(state, use_ema: bool = False) -> dict:
+    """The serving variables dict for a train state; ``use_ema`` serves the
+    optimizer's EMA parameter average instead of the raw params (raises if
+    the state was trained without ``--ema_decay``)."""
+    params = state.params
+    if use_ema:
+        from nvae_tpu.train.optim import find_ema_params
+
+        params = find_ema_params(state.opt_state)
+        if params is None:
+            raise ValueError(
+                "no EMA in the optimizer state — train with --ema_decay"
+            )
+    return {
+        "params": params,
+        "batch_stats": state.batch_stats,
+        **({"spectral": state.spectral} if state.spectral else {}),
+    }
+
+
+class ReloadableSampler:
+    """Hot-reloadable ``(key_data, temperature) -> images`` sampler.
+
+    :func:`build_sampler` closes the weights into the traced function —
+    right for ``jax.export`` (constants fold into the artifact), wrong for
+    a long-lived server that must follow a training run: a new closure is a
+    new jit cache entry, i.e. a full recompile (~minutes through the v5e
+    tunnel).  Here the variables ride as a jit ARGUMENT: :meth:`swap` is
+    one host→device transfer and the compiled program is untouched (same
+    pytree structure + avals → same cache entry).  The dynamic-batching
+    worker reads its callable once per dispatch, so the swap boundary is a
+    dispatch boundary — in-flight dispatches finish on the old weights.
+
+    ``serve_dtype`` applies the weight-only serving casts (bf16 / int8) to
+    every tree swapped in, so a reload keeps the serving memory footprint.
+    """
+
+    def __init__(self, model, variables, n_samples: int,
+                 scale_temperatures: Optional[Sequence[float]] = None,
+                 serve_dtype: str = ""):
+        import threading
+
+        self._model = model
+        self.n_samples = int(n_samples)
+        self._st = (tuple(float(t) for t in scale_temperatures)
+                    if scale_temperatures else None)
+        self.serve_dtype = serve_dtype
+        self.generation = 0
+        self.step = -1  # checkpoint step served; -1 = constructor weights
+        self._lock = threading.Lock()
+
+        def fn(variables, key_data, temperature):
+            rng = jax.random.wrap_key_data(key_data)
+            vs = dict(variables)
+            vs["params"] = dequantize_params(variables["params"])
+            images, _, _, _ = model.apply(
+                vs, self.n_samples, temperature, True, self._st,
+                method=type(model).sample, rngs={"sample": rng},
+            )
+            return images
+
+        self._fn = jax.jit(fn)
+        # One explicit device for every weight generation: mixing committed
+        # (orbax-restored) and uncommitted (freshly-initialized) trees would
+        # split the jit cache — i.e. a silent recompile on first reload.
+        self._device = jax.local_devices()[0]
+        self._variables = jax.device_put(self._prep(variables), self._device)
+
+    def _prep(self, variables: dict) -> dict:
+        params = variables["params"]
+        if self.serve_dtype == "bfloat16":
+            params = cast_params(params, jnp.bfloat16)
+        elif self.serve_dtype == "int8":
+            params = quantize_params_int8(params)
+        elif self.serve_dtype:
+            raise ValueError(f"unknown serve_dtype {self.serve_dtype!r}")
+        return {**variables, "params": params}
+
+    def __call__(self, key_data, temperature):
+        return self._fn(self._variables, key_data, temperature)
+
+    def swap(self, variables: dict, step: Optional[int] = None) -> None:
+        """Serve ``variables`` (raw, un-cast) from the next dispatch on."""
+        staged = jax.device_put(self._prep(variables), self._device)
+        with self._lock:
+            self._variables = staged
+            self.generation += 1
+            if step is not None:
+                self.step = int(step)
+
+    @property
+    def info(self) -> dict:
+        with self._lock:
+            return {
+                "step": self.step,
+                "generation": self.generation,
+                "serve_dtype": self.serve_dtype or "float32",
+            }
+
+
+def make_checkpoint_reloader(sampler: ReloadableSampler, ckpt_dir: str,
+                             state_template, use_ema: bool = False):
+    """The serving tier's ``POST /reload`` hook: restore a step from the
+    checkpoint directory configured at startup (never a client-supplied
+    path) and swap it into ``sampler``.  ``req`` keys: ``step`` (int,
+    default latest), ``use_ema`` (bool, default the server's startup
+    setting).  Returns the JSON-able reload record."""
+    import os
+
+    from nvae_tpu.train.checkpoint import restore_checkpoint
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+
+    def reload(req: dict) -> dict:
+        step = req.get("step")
+        if step is not None and not isinstance(step, int):
+            raise ValueError(f"step must be an int, got {step!r}")
+        ema = req.get("use_ema", use_ema)
+        if not isinstance(ema, bool):
+            raise ValueError(f"use_ema must be a bool, got {ema!r}")
+        state = restore_checkpoint(ckpt_dir, state_template, step)
+        sampler.swap(variables_from_state(state, ema), step=int(state.step))
+        return {**sampler.info, "use_ema": ema}
+
+    return reload
+
+
 def build_mesh_sampler(model, variables, n_samples: int, mesh,
                        per_sample_temperature: bool = False,
                        scale_temperatures: Optional[Sequence[float]] = None):

@@ -21,7 +21,20 @@ Endpoints
     ``tile_images`` layout.
 
 - ``GET /healthz`` — liveness + the serving batch shape.
-- ``GET /stats`` — dispatch/occupancy counters (``ServerStats``).
+- ``GET /stats`` — dispatch/occupancy counters (``ServerStats``) plus the
+  serving weights record (checkpoint step / reload generation) when the
+  sampler is reloadable.
+- ``POST /reload`` — hot-swap the serving weights with zero downtime
+  (501 when the server was started without a reload source).  Body keys
+  are optional: ``{"step": 1200, "use_ema": true}``; the default reloads
+  the LATEST step from the checkpoint directory configured at startup —
+  the trainer keeps writing checkpoints, the server follows.  Weights are
+  only ever read from that startup-configured source, never from a
+  client-supplied path.  ``SIGHUP`` triggers the same default reload.
+  Live-model servers swap without recompiling (the weights are a jit
+  argument — :class:`nvae_tpu.serving.ReloadableSampler`); artifact
+  servers re-load the artifact file (new weights = newly exported bytes at
+  the same path) and pay one compile while old weights keep serving.
 
 Run ``python -m nvae_tpu.serving_http --preset mnist_step_sn --port 8000``
 (add ``--ckpt`` for trained weights; without it the server serves
@@ -71,10 +84,14 @@ class SamplerHTTPServer(ThreadingHTTPServer):
     request_queue_size = 512
 
     def __init__(self, address, sampler: BatchingSampler,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0, reloader=None):
         super().__init__(address, _Handler)
         self.sampler = sampler
         self.request_timeout_s = float(request_timeout_s)
+        # ``dict -> dict`` hot-reload hook (POST /reload, SIGHUP); None =
+        # this server has no reload source (fixed weights).
+        self.reloader = reloader
+        self._reload_lock = threading.Lock()
 
     def shutdown_and_close(self):
         self.shutdown()
@@ -89,6 +106,12 @@ class _Handler(BaseHTTPRequestHandler):
     # per-request churn was a measurable slice of the dispatch cycle.  Safe
     # because every response path (_send) emits Content-Length.
     protocol_version = "HTTP/1.1"
+    # Idle-connection reaping: without a socket timeout a keep-alive client
+    # that goes quiet pins its handler thread forever.  handle_one_request
+    # treats a read timeout as end-of-connection (close, thread exits).
+    # Generous vs request_timeout_s=600 spent WAITING on a future — this
+    # clock only runs between requests, while the line is idle.
+    timeout = 120.0
     server: SamplerHTTPServer
 
     def log_message(self, fmt, *args):  # quiet by default; stats carry load
@@ -100,6 +123,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # Set by _error (and by HTTP/1.0 / Connection: close requests):
+            # tell the client instead of silently dropping the line.
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -107,6 +134,12 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode(), "application/json")
 
     def _error(self, code: int, message: str):
+        # Client errors can leave an unread request body on the socket
+        # (e.g. a bad Content-Length parsed before the body was consumed);
+        # under keep-alive the leftover bytes would be read as the NEXT
+        # request line.  Close instead of risking a desynced connection.
+        if code >= 400:
+            self.close_connection = True
         self._send_json(code, {"error": message})
 
     # ---- GET -----------------------------------------------------------------
@@ -120,19 +153,50 @@ class _Handler(BaseHTTPRequestHandler):
             })
         elif self.path == "/stats":
             s = self.server.sampler.stats
-            self._send_json(200, {
+            body = {
                 "dispatches": s.dispatches,
                 "rows_served": s.rows_served,
                 "rows_padded": s.rows_padded,
                 "requests": s.requests,
                 "occupancy": round(s.occupancy, 4),
-            })
+            }
+            info = getattr(self.server.sampler.call_fn, "info", None)
+            if info is not None:
+                body["weights"] = info
+            self._send_json(200, body)
         else:
             self._error(404, f"unknown path {self.path!r}")
 
     # ---- POST ----------------------------------------------------------------
 
+    def _do_reload(self):
+        reloader = self.server.reloader
+        if reloader is None:
+            return self._error(
+                501, "this server has no reload source (fixed weights)")
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, json.JSONDecodeError):
+            return self._error(400, "body must be a JSON object")
+        try:
+            # One reload at a time; /sample traffic keeps flowing on the
+            # current weights meanwhile (other handler threads untouched).
+            with self.server._reload_lock:
+                info = reloader(req)
+        except FileNotFoundError as e:
+            return self._error(404, str(e))
+        except ValueError as e:
+            return self._error(400, str(e))
+        except Exception as e:  # reload failed; old weights still serving
+            return self._error(500, f"reload failed: {e}")
+        self._send_json(200, info)
+
     def do_POST(self):
+        if self.path == "/reload":
+            return self._do_reload()
         if self.path != "/sample":
             return self._error(404, f"unknown path {self.path!r}")
         try:
@@ -205,19 +269,51 @@ def drain_on_signals(httpd: SamplerHTTPServer, signals=None):
     return handler
 
 
+def reload_on_sighup(httpd: SamplerHTTPServer):
+    """SIGHUP → default hot reload (latest checkpoint step / re-read the
+    artifact), the classic ops idiom.  Runs off the signal frame on a side
+    thread; a failed reload logs and keeps the current weights serving.
+    Returns the handler for direct invocation in tests (installing is
+    main-thread-only)."""
+    import signal as _signal
+
+    def handler(signum=None, frame=None):
+        def _reload():
+            try:
+                with httpd._reload_lock:
+                    info = httpd.reloader({})
+                print(f"SIGHUP reload: {info}", flush=True)
+            except Exception as e:
+                print(f"SIGHUP reload failed ({e}); keeping current "
+                      "weights", flush=True)
+
+        threading.Thread(target=_reload, daemon=True).start()
+
+    if httpd.reloader is not None and hasattr(_signal, "SIGHUP"):
+        _signal.signal(_signal.SIGHUP, handler)
+    return handler
+
+
 def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
           max_delay_ms: float = 10.0, seed: int = 0,
-          block: bool = True, drain_signals: bool = False) -> SamplerHTTPServer:
+          block: bool = True, drain_signals: bool = False,
+          reloader_factory=None) -> SamplerHTTPServer:
     """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
     images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
     thread and returns the server (tests; call ``shutdown_and_close``).
     ``drain_signals`` installs the SIGTERM/SIGINT drain-then-exit handler
-    (main thread only — the production entry points set it)."""
+    (main thread only — the production entry points set it).
+    ``reloader_factory`` (``BatchingSampler -> (dict -> dict)``) enables
+    ``POST /reload`` and (with ``drain_signals``) the SIGHUP reload."""
     sampler = BatchingSampler(
         call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed)
-    httpd = SamplerHTTPServer((host, port), sampler)
+    httpd = SamplerHTTPServer(
+        (host, port), sampler,
+        reloader=reloader_factory(sampler) if reloader_factory else None,
+    )
     if drain_signals:
         drain_on_signals(httpd)
+        reload_on_sighup(httpd)
     if block:
         try:
             httpd.serve_forever()
@@ -229,14 +325,22 @@ def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
 
 
 def _build_call(args):
-    """Jitted per-sample-temperature sampler from a preset/checkpoint (the
-    live twin of the exported-artifact path in :mod:`nvae_tpu.serving`)."""
+    """Live per-sample-temperature sampler from a preset/checkpoint (the
+    twin of the exported-artifact path in :mod:`nvae_tpu.serving`), as a
+    hot-reloadable ``ReloadableSampler``.  Returns ``(call,
+    reloader_factory)`` — the factory is None without ``--ckpt`` (nothing
+    to reload from)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from nvae_tpu.models import NVAE
+    from nvae_tpu.serving import (
+        ReloadableSampler,
+        make_checkpoint_reloader,
+        variables_from_state,
+    )
 
     if args.preset:
         from nvae_tpu.presets import get_preset
@@ -257,15 +361,8 @@ def _build_call(args):
         model_cfg = debug_config()
     model = NVAE(model_cfg)
     B = args.batch
+    reloader_factory = None
 
-    variables = jax.jit(
-        lambda: model.init(
-            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-            jnp.zeros((1, model_cfg.image_size, model_cfg.image_size,
-                       model_cfg.in_channels)),
-            True,
-        )
-    )()
     if args.ckpt:
         import os
 
@@ -273,27 +370,40 @@ def _build_call(args):
         from nvae_tpu.train.checkpoint import restore_checkpoint
         from nvae_tpu.train.state import create_train_state
 
-        _, state, _ = create_train_state(model_cfg, TrainConfig(), 1)
-        state = restore_checkpoint(os.path.abspath(args.ckpt), state)
-        variables = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            **({"spectral": state.spectral} if state.spectral else {}),
-        }
-
-    @jax.jit
-    def call(key_data, t_vec):
-        images, *_ = model.apply(
-            variables, B, t_vec,
-            rngs={"sample": jax.random.wrap_key_data(key_data)},
-            method=NVAE.sample,
+        # The restore template must match the checkpoint's opt_state
+        # structure: --use_ema implies the EMA-bearing optimizer chain
+        # (same rule as the CLI, nvae_tpu/cli.py).
+        _, template, _ = create_train_state(
+            model_cfg,
+            TrainConfig(ema_decay=0.9999 if args.use_ema else 0.0), 1,
         )
-        return images
+        ckpt_dir = os.path.abspath(args.ckpt)
+        state = restore_checkpoint(ckpt_dir, template)
+        call = ReloadableSampler(
+            model, variables_from_state(state, args.use_ema), B,
+            serve_dtype=args.serve_dtype,
+        )
+        call.step = int(state.step)
+        reloader_factory = lambda _sampler: make_checkpoint_reloader(  # noqa: E731
+            call, ckpt_dir, template, use_ema=args.use_ema
+        )
+    else:
+        variables = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)},
+                jnp.zeros((1, model_cfg.image_size, model_cfg.image_size,
+                           model_cfg.in_channels)),
+                True,
+            )
+        )()
+        call = ReloadableSampler(model, variables, B,
+                                 serve_dtype=args.serve_dtype)
 
     # Warm the compile before accepting traffic.
     kd = jax.random.key_data(jax.random.PRNGKey(9))
-    float(call(kd, jnp.ones((B,), jnp.float32)).mean())
-    return call
+    float(jnp.asarray(call(kd, jnp.ones((B,), jnp.float32))).mean())
+    return call, reloader_factory
 
 
 def _build_call_from_artifact(path: str):
@@ -354,6 +464,13 @@ def main(argv=None):
     ap.add_argument("--compute_dtype", default="")
     ap.add_argument("--bn_apply_dtype", default="")
     ap.add_argument("--postprocess_depthwise", action="store_true")
+    ap.add_argument("--serve_dtype", default="",
+                    choices=["", "bfloat16", "int8"],
+                    help="Weight-only serving cast (applied on every "
+                         "reload too)")
+    ap.add_argument("--use_ema", action="store_true",
+                    help="Serve the EMA parameter average (checkpoint must "
+                         "be trained with --ema_decay)")
     ap.add_argument("--batch", type=int, default=144,
                     help="Static serving batch (the packing target)")
     ap.add_argument("--max_delay_ms", type=float, default=10.0)
@@ -365,14 +482,34 @@ def main(argv=None):
     _honor_env_platform()
     if args.artifact:
         call, batch = _build_call_from_artifact(args.artifact)
+
+        def reloader_factory(sampler):
+            # Artifact reload: re-read the file at the startup path (the
+            # deploy flow exports new bytes to the same path).  Pays one
+            # compile inside the handler thread; the current weights keep
+            # serving until swap_call.
+            def reload(req: dict) -> dict:
+                new_call, new_batch = _build_call_from_artifact(
+                    args.artifact)
+                if new_batch != sampler.batch_size:
+                    raise ValueError(
+                        f"artifact batch changed ({sampler.batch_size} -> "
+                        f"{new_batch}); restart the server to change the "
+                        "serving batch")
+                sampler.swap_call(new_call)
+                return {"artifact": args.artifact, "batch": new_batch}
+
+            return reload
     else:
-        call, batch = _build_call(args), args.batch
+        call, reloader_factory = _build_call(args)
+        batch = args.batch
     print(f"serving on http://{args.host}:{args.port} "
-          f"(batch {batch}, max_delay {args.max_delay_ms} ms)",
+          f"(batch {batch}, max_delay {args.max_delay_ms} ms"
+          f"{', reloadable' if reloader_factory else ''})",
           flush=True)
     serve(call, batch, host=args.host, port=args.port,
           max_delay_ms=args.max_delay_ms, seed=args.seed,
-          drain_signals=True)
+          drain_signals=True, reloader_factory=reloader_factory)
 
 
 if __name__ == "__main__":

@@ -216,6 +216,16 @@ class BatchingSampler:
         """Launch whatever is queued now without waiting for a full batch."""
         self._flush.set()
 
+    def swap_call(self, call_fn: Callable) -> None:
+        """Hot-swap the compiled sampler (same ``(key_data, f32[B]) ->
+        images`` contract and batch size).  The worker reads the callable
+        once per dispatch, so the assignment is the swap boundary:
+        dispatches launched after it run the new program, in-flight ones
+        finish on the old.  Queued requests never re-dispatch — a request
+        spanning the swap gets rows from both weight generations (each row
+        is served exactly once)."""
+        self.call_fn = call_fn
+
     def close(self) -> None:
         """Serve everything queued, then stop the worker."""
         self._stop.set()

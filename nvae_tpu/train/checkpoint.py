@@ -80,5 +80,12 @@ def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        if step not in mgr.all_steps():
+            # Explicit: orbax's own error for a missing step directory is a
+            # cryptic Composite-args complaint (seen live via POST /reload).
+            raise FileNotFoundError(
+                f"no checkpoint at step {step} under {ckpt_dir} "
+                f"(available: {sorted(mgr.all_steps())})"
+            )
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))

@@ -148,6 +148,11 @@ def test_serve_mode_wiring(tmp_path, monkeypatch):
     assert imgs.shape == (4, 32, 32, 1)
     # Deterministic: the batching runtime's replay guarantee holds.
     np.testing.assert_array_equal(imgs, np.asarray(captured["call_fn"](kd, t)))
+    # Single-device serving is hot-reloadable (ReloadableSampler + the
+    # checkpoint-dir reload hook) and reports its weights record.
+    assert captured["reloader_factory"] is not None
+    assert captured["call_fn"].info["serve_dtype"] == "int8"
+    assert captured["call_fn"].info["step"] == 0
 
 
 def test_serve_mode_uses_mesh_sampler(tmp_path, monkeypatch):

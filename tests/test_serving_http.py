@@ -244,6 +244,134 @@ def test_keepalive_connection_reused():
         httpd.shutdown_and_close()
 
 
+def test_reload_endpoint_swaps_sampler():
+    """POST /reload drives the reloader hook and later requests ride the
+    swapped sampler; /stats surfaces the weights record; SIGHUP's handler
+    performs the default reload."""
+    from nvae_tpu.serving_http import reload_on_sighup
+
+    base = _fake_sampler(4)
+
+    class _Reloadable:
+        def __init__(self):
+            self.offset = 0.0
+            self.info = {"step": -1, "generation": 0}
+
+        def __call__(self, kd, t_vec):
+            return base(kd, t_vec) + np.float32(self.offset)
+
+    call = _Reloadable()
+
+    def reloader_factory(sampler):
+        def reload(req):
+            step = req.get("step", 99)
+            if not isinstance(step, int):
+                raise ValueError("step must be an int")
+            call.offset = float(step)
+            call.info = {"step": step,
+                         "generation": call.info["generation"] + 1}
+            return dict(call.info)
+
+        return reload
+
+    httpd = serve(call, 4, port=0, max_delay_ms=2.0, block=False,
+                  reloader_factory=reloader_factory)
+    try:
+        _, _, body = _post(httpd, {"n": 2, "temperature": 0.5})
+        r0 = np.load(io.BytesIO(body))
+
+        status, _, body = _post(httpd, {"step": 100}, path="/reload")
+        assert status == 200
+        assert json.loads(body) == {"step": 100, "generation": 1}
+        _, _, body = _post(httpd, {"n": 2, "temperature": 0.5})
+        r1 = np.load(io.BytesIO(body))
+        assert float((r1 - r0).mean()) == pytest.approx(100.0, abs=1e-3)
+
+        # /stats carries the weights record from the sampler's .info.
+        with urllib.request.urlopen(_url(httpd, "/stats"), timeout=5) as r:
+            stats = json.loads(r.read())
+        assert stats["weights"]["step"] == 100
+
+        # Validation errors map to 400; the old weights keep serving.
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(httpd, {"step": "latest"}, path="/reload")
+        assert ei.value.code == 400
+
+        # SIGHUP handler: default reload (empty request body).
+        import time as _time
+
+        reload_on_sighup(httpd)(None, None)
+        deadline = _time.monotonic() + 5
+        while (call.info["generation"] != 2
+               and _time.monotonic() < deadline):
+            _time.sleep(0.02)
+        assert call.info == {"step": 99, "generation": 2}
+    finally:
+        httpd.shutdown_and_close()
+
+
+def test_reload_without_source_is_501(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {}, path="/reload")
+    assert ei.value.code == 501
+
+
+def test_idle_keepalive_connection_reaped(monkeypatch):
+    """A keep-alive client that goes quiet must not pin its handler thread
+    forever: the idle socket timeout closes the connection (recv sees EOF),
+    while fresh connections keep being served."""
+    import http.client
+    import socket
+
+    from nvae_tpu import serving_http
+
+    monkeypatch.setattr(serving_http._Handler, "timeout", 0.5)
+    httpd = serve(_fake_sampler(4), 4, port=0, max_delay_ms=2.0, block=False)
+    host, port = httpd.server_address[:2]
+    try:
+        s = socket.create_connection((host, port), timeout=10)
+        s.settimeout(10)
+        # One request proves the connection is live, then idle past the
+        # server's keep-alive timeout.
+        s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        first = b""
+        while b'"max_delay_ms"' not in first:  # end of the JSON body
+            chunk = s.recv(65536)
+            assert chunk, f"connection closed mid-response: {first!r}"
+            first += chunk
+        assert b"200" in first
+        assert s.recv(65536) == b""  # server closed the idle line
+        s.close()
+
+        # The server is still healthy for new connections.
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+        conn.close()
+    finally:
+        httpd.shutdown_and_close()
+
+
+def test_error_response_closes_connection():
+    """4xx responses close the connection (and say so): a parse-stage error
+    can leave unread body bytes that would desync the next request on a
+    reused line."""
+    import http.client
+
+    httpd = serve(_fake_sampler(4), 4, port=0, max_delay_ms=2.0, block=False)
+    host, port = httpd.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    try:
+        conn.request("POST", "/sample", body=json.dumps({"n": 0}).encode())
+        r = conn.getresponse()
+        assert r.status == 400
+        assert r.getheader("Connection") == "close"
+        r.read()
+    finally:
+        conn.close()
+        httpd.shutdown_and_close()
+
+
 def test_connection_burst_not_reset():
     """A barrier-synchronized burst of concurrent connections must all be
     served: dynamic batching WANTS bursts (that's where full batches come

@@ -1,0 +1,141 @@
+"""Hot-reloadable serving: swap weights with zero downtime, no recompile.
+
+The reference redeploys by restarting ``train.py --mode sample`` with a new
+checkpoint (full process + stack reload).  The TPU serving tier instead
+treats weights as a jit ARGUMENT (nvae_tpu/serving.py ReloadableSampler):
+swapping a checkpoint in is one host->device transfer against the same
+compiled program.  These tests pin the full loop: checkpoint dir ->
+make_checkpoint_reloader -> swapped outputs matching a fresh closure over
+the same weights (fp32-ULP; bitwise within the one program), EMA
+extraction included, zero jit cache growth across swaps.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nvae_tpu.config import TrainConfig, debug_config
+from nvae_tpu.serving import (
+    ReloadableSampler,
+    build_sampler,
+    make_checkpoint_reloader,
+    variables_from_state,
+)
+from nvae_tpu.train import checkpoint as ckpt
+from nvae_tpu.train.state import create_train_state
+
+B = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = debug_config(
+        n_encoder_channels=8, n_decoder_channels=8,
+        n_groups_per_scale=(1, 1), n_latent_per_group=2,
+    )
+    model, state, _ = create_train_state(
+        cfg, TrainConfig(epochs=1, batch_size=B, ema_decay=0.99),
+        total_steps=4,
+    )
+    return model, state
+
+
+def _closure_output(model, variables, kd, t_vec):
+    return np.asarray(jax.jit(build_sampler(model, variables, B))(kd, t_vec))
+
+
+def _close(a, b):
+    # Same weights through the weights-as-ARGUMENT program vs the
+    # weights-as-CONSTANT closure: XLA constant-folds/fuses differently, so
+    # agreement is fp32-ULP, not bitwise.  Bitwise holds within one program
+    # (asserted below on the rollback path).
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=0)
+
+
+def test_reload_from_checkpoints_bitwise(setup, tmp_path):
+    model, state = setup
+    kd = jax.random.key_data(jax.random.PRNGKey(3))
+    t = jnp.full((B,), 0.8, jnp.float32)
+
+    # Two checkpoints with distinguishable weights: step 1 = init params,
+    # step 2 = shifted params.  opt_state rides along so the EMA (still the
+    # init-param average at step 0 of the chain) stays restorable.
+    shifted = jax.tree.map(lambda x: x + 0.05, state.params)
+    state2 = dataclasses.replace(
+        state, params=shifted, step=jnp.asarray(2, jnp.int32)
+    )
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, 1, dataclasses.replace(
+        state, step=jnp.asarray(1, jnp.int32)))
+    ckpt.save_checkpoint(d, 2, state2)
+
+    sampler = ReloadableSampler(model, variables_from_state(state), B)
+    out_init = np.asarray(sampler(kd, t))
+    _close(out_init, _closure_output(model, variables_from_state(state), kd, t))
+
+    reload = make_checkpoint_reloader(sampler, d, state)
+    info = reload({})  # default: latest step
+    assert info["step"] == 2 and info["generation"] == 1
+    out2 = np.asarray(sampler(kd, t))
+    _close(out2, _closure_output(model, variables_from_state(state2), kd, t))
+    assert np.abs(out2 - out_init).max() > 1e-3  # weights actually changed
+
+    # Roll back to an explicit step.
+    info = reload({"step": 1})
+    assert info["step"] == 1 and info["generation"] == 2
+    np.testing.assert_array_equal(np.asarray(sampler(kd, t)), out_init)
+
+    # EMA extraction on reload: the chain's average is still the init
+    # params (no update steps ran), so step 2 + use_ema == init outputs.
+    info = reload({"step": 2, "use_ema": True})
+    assert info["use_ema"] is True
+    np.testing.assert_array_equal(np.asarray(sampler(kd, t)), out_init)
+
+    # Zero recompiles across all swaps: same structure + avals, one cache
+    # entry (the whole point of weights-as-argument).
+    if hasattr(sampler._fn, "_cache_size"):
+        assert sampler._fn._cache_size() == 1
+
+    # Bad requests surface as ValueError (the HTTP layer maps it to 400);
+    # a missing step is a clean FileNotFoundError (-> 404), not orbax's
+    # cryptic Composite-args complaint.
+    with pytest.raises(ValueError):
+        reload({"step": "latest"})
+    with pytest.raises(ValueError):
+        reload({"use_ema": 1})
+    with pytest.raises(FileNotFoundError, match="step 99"):
+        reload({"step": 99})
+
+
+def test_reload_applies_serve_dtype(setup, tmp_path):
+    """serve_dtype casts are re-applied on every swap: after a reload the
+    served weights are still bf16 (footprint survives redeploys)."""
+    model, state = setup
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, 1, dataclasses.replace(
+        state, step=jnp.asarray(1, jnp.int32)))
+
+    sampler = ReloadableSampler(
+        model, variables_from_state(state), B, serve_dtype="bfloat16"
+    )
+    make_checkpoint_reloader(sampler, d, state)({})
+    dtypes = {
+        x.dtype
+        for x in jax.tree.leaves(sampler._variables["params"])
+        if jnp.issubdtype(x.dtype, jnp.floating)
+    }
+    assert dtypes == {jnp.dtype(jnp.bfloat16)}
+
+    kd = jax.random.key_data(jax.random.PRNGKey(3))
+    out = np.asarray(sampler(kd, jnp.full((B,), 0.8, jnp.float32)))
+    assert np.isfinite(out).all()
+
+
+def test_unknown_serve_dtype_rejected(setup):
+    model, state = setup
+    with pytest.raises(ValueError):
+        ReloadableSampler(model, variables_from_state(state), B,
+                          serve_dtype="fp8")

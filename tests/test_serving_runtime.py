@@ -83,6 +83,33 @@ def test_close_serves_backlog():
         srv.submit(1, 1.0)
 
 
+def test_swap_call_is_dispatch_boundary():
+    """swap_call: dispatches launched after the swap run the new sampler,
+    results already served are untouched, and replay determinism holds per
+    generation (the key schedule never resets)."""
+
+    def v2(batch):
+        base = _fake_sampler(batch)
+
+        def call(key_data, t_vec):
+            return base(key_data, t_vec) + np.float32(100.0)
+
+        return call
+
+    srv = BatchingSampler(_fake_sampler(4), 4, max_delay_ms=0)
+    try:
+        f1 = srv.submit(4, 0.7)
+        np.testing.assert_array_equal(
+            f1.result(timeout=10), _expected(4, 0, [0.7] * 4))
+        srv.swap_call(v2(4))
+        f2 = srv.submit(4, 0.7)
+        # Same packing/key discipline (dispatch index 1), new weights.
+        np.testing.assert_array_equal(
+            f2.result(timeout=10), _expected(4, 1, [0.7] * 4) + 100.0)
+    finally:
+        srv.close()
+
+
 def test_runtime_over_real_model_matches_direct_call():
     """End-to-end over the real debug model: the served rows are BITWISE a
     direct per-sample-temperature sampler call with the replayed dispatch
