@@ -167,6 +167,11 @@ def parse_args(argv=None):
                    help="Launch a partial batch once the oldest queued "
                         "request has waited this long (latency/throughput "
                         "knob; 0 = full batches only)")
+    p.add_argument("--serve_follow_s", type=float, default=0.0,
+                   help="Poll the checkpoint dir every N seconds and "
+                        "hot-reload newer steps automatically (deploy "
+                        "follows training); 0 = reload only on POST "
+                        "/reload or SIGHUP")
     p.add_argument("--serve_dtype", type=str, default="",
                    choices=["", "bfloat16", "int8"],
                    help="Weight serving dtype: bfloat16 casts params, int8 "
@@ -514,7 +519,8 @@ def main(argv=None):
         serve(call, args.batch_size, host=args.serve_host,
               port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
               seed=args.seed, drain_signals=True,
-              reloader_factory=reloader_factory)
+              reloader_factory=reloader_factory,
+              follow_seconds=args.serve_follow_s)
     logger.close()
 
 

@@ -256,6 +256,14 @@ def make_checkpoint_reloader(sampler: ReloadableSampler, ckpt_dir: str,
         ema = req.get("use_ema", use_ema)
         if not isinstance(ema, bool):
             raise ValueError(f"use_ema must be a bool, got {ema!r}")
+        if req.get("if_newer") and step is None:
+            # Follow mode (the server's checkpoint-dir poller): reload only
+            # when the trainer has written a step beyond the one serving.
+            from nvae_tpu.train.checkpoint import latest_step
+
+            newest = latest_step(ckpt_dir)
+            if newest is None or newest <= sampler.step:
+                return {**sampler.info, "skipped": True}
         state = restore_checkpoint(ckpt_dir, state_template, step)
         sampler.swap(variables_from_state(state, ema), step=int(state.step))
         return {**sampler.info, "use_ema": ema}

@@ -92,11 +92,39 @@ class SamplerHTTPServer(ThreadingHTTPServer):
         # this server has no reload source (fixed weights).
         self.reloader = reloader
         self._reload_lock = threading.Lock()
+        self._closing = threading.Event()
 
     def shutdown_and_close(self):
+        self._closing.set()  # stop the checkpoint follower, if any
         self.shutdown()
         self.server_close()
         self.sampler.close()
+
+    def start_follower(self, follow_seconds: float):
+        """Deploy-follows-training: poll the reload source every
+        ``follow_seconds`` and hot-swap when a NEWER checkpoint step (or
+        artifact mtime) appears — the trainer keeps writing, the server
+        keeps up, no operator in the loop.  Polling (not inotify) because
+        orbax finalizes a step atomically via directory rename and the
+        sources may sit on network filesystems."""
+        if self.reloader is None:
+            raise ValueError("start_follower needs a reloader")
+
+        def run():
+            while not self._closing.wait(follow_seconds):
+                try:
+                    with self._reload_lock:
+                        info = self.reloader({"if_newer": True})
+                    if not info.get("skipped"):
+                        print(f"follow reload: {info}", flush=True)
+                except Exception as e:  # keep serving current weights
+                    print(f"follow reload failed ({e}); retrying in "
+                          f"{follow_seconds}s", flush=True)
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="ckpt-follower")
+        t.start()
+        return t
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -297,20 +325,25 @@ def reload_on_sighup(httpd: SamplerHTTPServer):
 def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
           max_delay_ms: float = 10.0, seed: int = 0,
           block: bool = True, drain_signals: bool = False,
-          reloader_factory=None) -> SamplerHTTPServer:
+          reloader_factory=None,
+          follow_seconds: float = 0.0) -> SamplerHTTPServer:
     """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
     images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
     thread and returns the server (tests; call ``shutdown_and_close``).
     ``drain_signals`` installs the SIGTERM/SIGINT drain-then-exit handler
     (main thread only — the production entry points set it).
     ``reloader_factory`` (``BatchingSampler -> (dict -> dict)``) enables
-    ``POST /reload`` and (with ``drain_signals``) the SIGHUP reload."""
+    ``POST /reload`` and (with ``drain_signals``) the SIGHUP reload;
+    ``follow_seconds > 0`` additionally polls the reload source at that
+    period and swaps in newer checkpoints automatically."""
     sampler = BatchingSampler(
         call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed)
     httpd = SamplerHTTPServer(
         (host, port), sampler,
         reloader=reloader_factory(sampler) if reloader_factory else None,
     )
+    if follow_seconds > 0 and httpd.reloader is not None:
+        httpd.start_follower(follow_seconds)
     if drain_signals:
         drain_on_signals(httpd)
         reload_on_sighup(httpd)
@@ -474,6 +507,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=144,
                     help="Static serving batch (the packing target)")
     ap.add_argument("--max_delay_ms", type=float, default=10.0)
+    ap.add_argument("--follow_s", type=float, default=0.0,
+                    help="Poll the checkpoint dir / artifact file every N "
+                         "seconds and hot-reload newer weights "
+                         "automatically (deploy follows training)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--seed", type=int, default=0)
@@ -487,8 +524,16 @@ def main(argv=None):
             # Artifact reload: re-read the file at the startup path (the
             # deploy flow exports new bytes to the same path).  Pays one
             # compile inside the handler thread; the current weights keep
-            # serving until swap_call.
+            # serving until swap_call.  ``if_newer`` (follow mode) keys on
+            # the file mtime.
+            import os
+
+            state = {"mtime": os.path.getmtime(args.artifact)}
+
             def reload(req: dict) -> dict:
+                mtime = os.path.getmtime(args.artifact)
+                if req.get("if_newer") and mtime <= state["mtime"]:
+                    return {"artifact": args.artifact, "skipped": True}
                 new_call, new_batch = _build_call_from_artifact(
                     args.artifact)
                 if new_batch != sampler.batch_size:
@@ -497,6 +542,7 @@ def main(argv=None):
                         f"{new_batch}); restart the server to change the "
                         "serving batch")
                 sampler.swap_call(new_call)
+                state["mtime"] = mtime
                 return {"artifact": args.artifact, "batch": new_batch}
 
             return reload
@@ -509,7 +555,8 @@ def main(argv=None):
           flush=True)
     serve(call, batch, host=args.host, port=args.port,
           max_delay_ms=args.max_delay_ms, seed=args.seed,
-          drain_signals=True, reloader_factory=reloader_factory)
+          drain_signals=True, reloader_factory=reloader_factory,
+          follow_seconds=args.follow_s)
 
 
 if __name__ == "__main__":

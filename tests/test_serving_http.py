@@ -310,6 +310,35 @@ def test_reload_endpoint_swaps_sampler():
         httpd.shutdown_and_close()
 
 
+def test_follower_polls_and_stops_on_shutdown():
+    """follow_seconds: the server polls the reloader with if_newer=True on
+    the configured period and the poller dies with shutdown_and_close."""
+    import time
+
+    calls = []
+
+    def reloader_factory(sampler):
+        def reload(req):
+            calls.append(dict(req))
+            return {"skipped": True}
+
+        return reload
+
+    httpd = serve(_fake_sampler(4), 4, port=0, max_delay_ms=2.0, block=False,
+                  reloader_factory=reloader_factory, follow_seconds=0.05)
+    try:
+        deadline = time.monotonic() + 5
+        while len(calls) < 3 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert len(calls) >= 3
+        assert all(c == {"if_newer": True} for c in calls)
+    finally:
+        httpd.shutdown_and_close()
+    n = len(calls)
+    time.sleep(0.3)
+    assert len(calls) == n  # poller stopped with the server
+
+
 def test_reload_without_source_is_501(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, {}, path="/reload")

@@ -110,6 +110,33 @@ def test_reload_from_checkpoints_bitwise(setup, tmp_path):
         reload({"step": 99})
 
 
+def test_if_newer_follow_semantics(setup, tmp_path):
+    """Follow mode: if_newer skips while the served step is current and
+    swaps as soon as the trainer writes a newer one."""
+    model, state = setup
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, 1, dataclasses.replace(
+        state, step=jnp.asarray(1, jnp.int32)))
+
+    sampler = ReloadableSampler(model, variables_from_state(state), B)
+    reload = make_checkpoint_reloader(sampler, d, state)
+    assert reload({"if_newer": True})["step"] == 1  # first poll: -1 -> 1
+    info = reload({"if_newer": True})
+    assert info.get("skipped") is True and info["step"] == 1
+
+    ckpt.save_checkpoint(d, 2, dataclasses.replace(
+        state,
+        params=jax.tree.map(lambda x: x + 0.05, state.params),
+        step=jnp.asarray(2, jnp.int32),
+    ))
+    info = reload({"if_newer": True})
+    assert "skipped" not in info and info["step"] == 2
+
+    # An explicit step wins over if_newer (rollback through follow mode
+    # isn't a thing; POST /reload {"step": N} is).
+    assert reload({"if_newer": True, "step": 1})["step"] == 1
+
+
 def test_reload_applies_serve_dtype(setup, tmp_path):
     """serve_dtype casts are re-applied on every swap: after a reload the
     served weights are still bf16 (footprint survives redeploys)."""
