@@ -167,6 +167,10 @@ def parse_args(argv=None):
                    help="Launch a partial batch once the oldest queued "
                         "request has waited this long (latency/throughput "
                         "knob; 0 = full batches only)")
+    p.add_argument("--serve_fetch_workers", type=int, default=2,
+                   help="Threads overlapping device->host result transfers "
+                        "(the serving bottleneck through a remote TPU "
+                        "runtime; measured ladder in README)")
     p.add_argument("--serve_follow_s", type=float, default=0.0,
                    help="Poll the checkpoint dir every N seconds and "
                         "hot-reload newer steps automatically (deploy "
@@ -177,6 +181,13 @@ def parse_args(argv=None):
                    help="Weight serving dtype: bfloat16 casts params, int8 "
                         "quantizes large kernels (serving.quantize_params_"
                         "int8; measured 0.998x throughput, README)")
+    p.add_argument("--serve_output", type=str, default="",
+                   choices=["", "uint8"],
+                   help="Serve uint8 pixel values (round(p*255) computed "
+                        "on the device): 4x less device->host transfer per "
+                        "dispatch — the serving bottleneck through a remote "
+                        "TPU runtime.  npy responses carry the dtype in "
+                        "their header; png output is identical either way")
     # Evaluation protocol (reference hardcodes 10 attempts / {0.6,0.8,1.0} /
     # 10,000 FID samples at evaluate.py:58-156; configurable here).
     p.add_argument("--eval_attempts", type=int, default=10)
@@ -520,7 +531,8 @@ def main(argv=None):
               port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
               seed=args.seed, drain_signals=True,
               reloader_factory=reloader_factory,
-              follow_seconds=args.serve_follow_s)
+              follow_seconds=args.serve_follow_s,
+              fulfill_workers=args.serve_fetch_workers)
     logger.close()
 
 
@@ -565,11 +577,12 @@ def _build_serve_call(args, trainer, mesh):
         call = build_mesh_sampler(
             trainer.model, variables, B, mesh,
             per_sample_temperature=True, scale_temperatures=st,
+            output_dtype=args.serve_output,
         )
     else:
         call = ReloadableSampler(
             trainer.model, variables, B, scale_temperatures=st,
-            serve_dtype=args.serve_dtype,
+            serve_dtype=args.serve_dtype, output_dtype=args.serve_output,
         )
         call.step = int(state.step)
         reloader = make_checkpoint_reloader(

@@ -93,15 +93,36 @@ def dequantize_params(params):
     )
 
 
+def quantize_output(images: jax.Array, output_dtype: str) -> jax.Array:
+    """Device-side output quantization for the serving tier.
+
+    ``output_dtype="uint8"`` rounds the sampler's [0, 1] pixel
+    probabilities to ``round(p * 255)`` **on the device**, so the
+    per-dispatch device→host transfer carries 1 byte/pixel instead of 4 —
+    the transfer is the serving bottleneck through a remote TPU runtime
+    (see README's serving numbers), and u8 is what image consumers want
+    anyway (the PNG path re-derives exactly these values on the host,
+    ``utils/images.py:to_uint8``).  ``""``/``"float32"`` is the identity.
+    """
+    if output_dtype in ("", "float32"):
+        return images
+    if output_dtype == "uint8":
+        x = jnp.clip(images.astype(jnp.float32), 0.0, 1.0)
+        return jnp.round(x * 255.0).astype(jnp.uint8)
+    raise ValueError(f"unknown output_dtype {output_dtype!r}")
+
+
 def build_sampler(model, variables, n_samples: int,
-                  scale_temperatures: Optional[Sequence[float]] = None):
+                  scale_temperatures: Optional[Sequence[float]] = None,
+                  output_dtype: str = ""):
     """Close model + weights into a pure ``(key_data, temperature) -> images``.
 
     ``key_data`` is ``jax.random.key_data(key)`` (uint32[2]) so the exported
     calling convention has no custom-PRNG-type surface; ``temperature`` is a
     traced f32 scalar.  ``variables["params"]`` may contain
     :class:`QuantizedLeaf` entries (int8 weight-only serving) — they are
-    dequantized inside the traced function.
+    dequantized inside the traced function.  ``output_dtype="uint8"``
+    quantizes the output pixels on the device (see :func:`quantize_output`).
     """
 
     def sampler(key_data: jax.Array, temperature: jax.Array) -> jax.Array:
@@ -117,7 +138,7 @@ def build_sampler(model, variables, n_samples: int,
             method=type(model).sample,
             rngs={"sample": rng},
         )
-        return images
+        return quantize_output(images, output_dtype)
 
     return sampler
 
@@ -175,7 +196,7 @@ class ReloadableSampler:
 
     def __init__(self, model, variables, n_samples: int,
                  scale_temperatures: Optional[Sequence[float]] = None,
-                 serve_dtype: str = ""):
+                 serve_dtype: str = "", output_dtype: str = ""):
         import threading
 
         self._model = model
@@ -183,6 +204,7 @@ class ReloadableSampler:
         self._st = (tuple(float(t) for t in scale_temperatures)
                     if scale_temperatures else None)
         self.serve_dtype = serve_dtype
+        self.output_dtype = output_dtype
         self.generation = 0
         self.step = -1  # checkpoint step served; -1 = constructor weights
         self._lock = threading.Lock()
@@ -195,7 +217,7 @@ class ReloadableSampler:
                 vs, self.n_samples, temperature, True, self._st,
                 method=type(model).sample, rngs={"sample": rng},
             )
-            return images
+            return quantize_output(images, output_dtype)
 
         self._fn = jax.jit(fn)
         # One explicit device for every weight generation: mixing committed
@@ -233,6 +255,7 @@ class ReloadableSampler:
                 "step": self.step,
                 "generation": self.generation,
                 "serve_dtype": self.serve_dtype or "float32",
+                "output_dtype": self.output_dtype or "float32",
             }
 
 
@@ -273,7 +296,8 @@ def make_checkpoint_reloader(sampler: ReloadableSampler, ckpt_dir: str,
 
 def build_mesh_sampler(model, variables, n_samples: int, mesh,
                        per_sample_temperature: bool = False,
-                       scale_temperatures: Optional[Sequence[float]] = None):
+                       scale_temperatures: Optional[Sequence[float]] = None,
+                       output_dtype: str = ""):
     """Data-parallel sampler over a device mesh: params replicated, the
     served batch's rows split over the ``"data"`` axis, one jitted program
     with GSPMD partitioning the whole generative chain.
@@ -299,7 +323,8 @@ def build_mesh_sampler(model, variables, n_samples: int, mesh,
     repl = NamedSharding(mesh, PartitionSpec())
     rows = NamedSharding(mesh, PartitionSpec("data"))
     variables = jax.device_put(variables, repl)
-    fn = build_sampler(model, variables, n_samples, scale_temperatures)
+    fn = build_sampler(model, variables, n_samples, scale_temperatures,
+                       output_dtype=output_dtype)
     return jax.jit(
         fn,
         in_shardings=(repl, rows if per_sample_temperature else repl),
@@ -310,7 +335,8 @@ def build_mesh_sampler(model, variables, n_samples: int, mesh,
 def export_sampler(model, variables, n_samples: int,
                    scale_temperatures: Optional[Sequence[float]] = None,
                    platforms: Sequence[str] = ("cpu", "tpu"),
-                   per_sample_temperature: bool = False) -> bytes:
+                   per_sample_temperature: bool = False,
+                   output_dtype: str = "") -> bytes:
     """Lower the sampler for ``platforms`` and serialize to bytes.
 
     ``per_sample_temperature`` exports the temperature input as an
@@ -318,11 +344,14 @@ def export_sampler(model, variables, n_samples: int,
     batch gets its own temperature, so one artifact call serves a mixed-
     temperature request batch (the dynamic-batching serving case: requests
     with different temperatures share a dispatch instead of fragmenting
-    into per-temperature batches).
+    into per-temperature batches).  ``output_dtype="uint8"`` bakes the
+    device-side pixel quantization into the artifact (1 byte/pixel off the
+    device — see :func:`quantize_output`).
     """
     from jax import export as jexport
 
-    sampler = build_sampler(model, variables, n_samples, scale_temperatures)
+    sampler = build_sampler(model, variables, n_samples, scale_temperatures,
+                            output_dtype=output_dtype)
     key_data = jax.random.key_data(jax.random.PRNGKey(0))
     t_shape = (n_samples,) if per_sample_temperature else ()
     exported = jexport.export(jax.jit(sampler), platforms=list(platforms))(

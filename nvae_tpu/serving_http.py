@@ -15,8 +15,10 @@ Endpoints
 - ``POST /sample`` — body ``{"n": 16, "temperature": 0.8, "format": "npy"}``.
   ``format`` one of:
 
-  - ``npy`` (default): the raw ``(n, H, W, C)`` float32 array, ``np.save``
-    bytes (``application/octet-stream``).
+  - ``npy`` (default): the raw ``(n, H, W, C)`` array in the sampler's
+    output dtype (float32 probabilities by default; uint8 pixel values
+    when the server runs with ``--serve_output uint8``), ``np.save`` bytes
+    (``application/octet-stream``) — the dtype rides in the npy header.
   - ``png``: one tiled uint8 grid image (``image/png``), the reference's
     ``tile_images`` layout.
 
@@ -259,8 +261,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(500, f"sampler failed: {e}")
 
         if fmt == "npy":
+            # Preserve the sampler's output dtype (f32 probabilities, or u8
+            # pixels under --serve_output uint8) — clients read it from the
+            # npy header.
             buf = io.BytesIO()
-            np.save(buf, np.asarray(images, np.float32))
+            np.save(buf, np.asarray(images))
             self._send(200, buf.getvalue(), "application/octet-stream")
         else:
             from PIL import Image
@@ -326,7 +331,8 @@ def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
           max_delay_ms: float = 10.0, seed: int = 0,
           block: bool = True, drain_signals: bool = False,
           reloader_factory=None,
-          follow_seconds: float = 0.0) -> SamplerHTTPServer:
+          follow_seconds: float = 0.0,
+          fulfill_workers: int = 2) -> SamplerHTTPServer:
     """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
     images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
     thread and returns the server (tests; call ``shutdown_and_close``).
@@ -335,9 +341,12 @@ def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
     ``reloader_factory`` (``BatchingSampler -> (dict -> dict)``) enables
     ``POST /reload`` and (with ``drain_signals``) the SIGHUP reload;
     ``follow_seconds > 0`` additionally polls the reload source at that
-    period and swaps in newer checkpoints automatically."""
+    period and swaps in newer checkpoints automatically.
+    ``fulfill_workers`` overlaps device→host result transfers (see
+    :class:`~nvae_tpu.serving_runtime.BatchingSampler`)."""
     sampler = BatchingSampler(
-        call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed)
+        call_fn, batch_size, max_delay_ms=max_delay_ms, seed=seed,
+        fulfill_workers=fulfill_workers)
     httpd = SamplerHTTPServer(
         (host, port), sampler,
         reloader=reloader_factory(sampler) if reloader_factory else None,
@@ -414,7 +423,7 @@ def _build_call(args):
         state = restore_checkpoint(ckpt_dir, template)
         call = ReloadableSampler(
             model, variables_from_state(state, args.use_ema), B,
-            serve_dtype=args.serve_dtype,
+            serve_dtype=args.serve_dtype, output_dtype=args.output_dtype,
         )
         call.step = int(state.step)
         reloader_factory = lambda _sampler: make_checkpoint_reloader(  # noqa: E731
@@ -431,7 +440,8 @@ def _build_call(args):
             )
         )()
         call = ReloadableSampler(model, variables, B,
-                                 serve_dtype=args.serve_dtype)
+                                 serve_dtype=args.serve_dtype,
+                                 output_dtype=args.output_dtype)
 
     # Warm the compile before accepting traffic.
     kd = jax.random.key_data(jax.random.PRNGKey(9))
@@ -501,6 +511,11 @@ def main(argv=None):
                     choices=["", "bfloat16", "int8"],
                     help="Weight-only serving cast (applied on every "
                          "reload too)")
+    ap.add_argument("--output_dtype", default="", choices=["", "uint8"],
+                    help="Serve uint8 pixels quantized on the device (4x "
+                         "less device->host transfer; npy responses carry "
+                         "the dtype).  For --artifact servers, export the "
+                         "artifact with --output_dtype uint8 instead")
     ap.add_argument("--use_ema", action="store_true",
                     help="Serve the EMA parameter average (checkpoint must "
                          "be trained with --ema_decay)")
@@ -511,6 +526,9 @@ def main(argv=None):
                     help="Poll the checkpoint dir / artifact file every N "
                          "seconds and hot-reload newer weights "
                          "automatically (deploy follows training)")
+    ap.add_argument("--fetch_workers", type=int, default=2,
+                    help="Threads overlapping device->host result "
+                         "transfers (remote-runtime serving bottleneck)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--seed", type=int, default=0)
@@ -556,7 +574,8 @@ def main(argv=None):
     serve(call, batch, host=args.host, port=args.port,
           max_delay_ms=args.max_delay_ms, seed=args.seed,
           drain_signals=True, reloader_factory=reloader_factory,
-          follow_seconds=args.follow_s)
+          follow_seconds=args.follow_s,
+          fulfill_workers=args.fetch_workers)
 
 
 if __name__ == "__main__":

@@ -160,6 +160,16 @@ class BatchingSampler:
         in-flight compute).  2 keeps one dispatch queued behind the running
         one, hiding the ~55 ms tunnel RTT.  FULL batches are never
         throttled, and neither are ``flush``/``close`` drains.
+    fulfill_workers:
+        Threads materializing device results (each ``numpy()`` pays that
+        dispatch's device→host transfer).  Through a remote TPU runtime
+        the transfer is comparable to the dispatch compute itself, so one
+        fulfiller serializes transfers behind each other and caps
+        throughput at ``1/transfer_time``; 2-3 overlap transfer with
+        transfer (and with compute).  Per-dispatch results stay memoized
+        (``_DispatchResult`` locks), and each request's future still
+        resolves exactly once, so concurrency here never reorders rows
+        within a request.
     """
 
     def __init__(
@@ -169,6 +179,7 @@ class BatchingSampler:
         max_delay_ms: float = 5.0,
         seed: int = 0,
         partial_max_inflight: int = 2,
+        fulfill_workers: int = 2,
     ):
         self.call_fn = call_fn
         self.batch_size = int(batch_size)
@@ -187,7 +198,8 @@ class BatchingSampler:
         from concurrent.futures import ThreadPoolExecutor
 
         self._fulfiller = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="sampler-fulfill"
+            max_workers=max(1, int(fulfill_workers)),
+            thread_name_prefix="sampler-fulfill",
         )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()

@@ -242,3 +242,40 @@ def test_export_per_sample_temperature(tmp_path):
     assert np.abs(mixed[2:] - b[2:]).max() > 0
     images = mod.main(["--load", vec_out, "--run", "--temperature", "0.9"])
     assert images.shape[0] == 4
+
+
+def test_export_uint8_output(tmp_path):
+    """--output_dtype uint8 bakes device-side pixel quantization into the
+    artifact: outputs are uint8 round(p*255), equal to quantizing the f32
+    artifact's output on the host (within one u8 level at rounding
+    boundaries).  This is the 4x-smaller device->host transfer the serving
+    tier uses (serving.quantize_output)."""
+    mod = _load_tool()
+    f32_out = str(tmp_path / "sampler_f32.shlo")
+    u8_out = str(tmp_path / "sampler_u8.shlo")
+    mod.main(["--out", f32_out, "--debug", "--batch", "4",
+              "--platforms", "cpu"])
+    mod.main(["--out", u8_out, "--debug", "--batch", "4",
+              "--platforms", "cpu", "--output_dtype", "uint8", "--check"])
+
+    import json
+
+    meta = json.load(open(u8_out + ".json"))
+    assert meta["output_dtype"] == "uint8"
+
+    from jax import export as jexport
+
+    with open(u8_out, "rb") as f:
+        u8 = jexport.deserialize(bytearray(f.read()))
+    with open(f32_out, "rb") as f:
+        f32 = jexport.deserialize(bytearray(f.read()))
+    kd = jax.random.key_data(jax.random.PRNGKey(3))
+    t = jnp.float32(0.8)
+    got = np.asarray(u8.call(kd, t))
+    assert got.dtype == np.uint8
+    ref = np.asarray(f32.call(kd, t))
+    want = np.round(np.clip(ref, 0.0, 1.0) * 255.0).astype(np.uint8)
+    # Same program up to the output cast: off-by-one only at exact .5
+    # rounding boundaries (and none expected on identical arithmetic).
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+    assert (got == want).mean() > 0.999

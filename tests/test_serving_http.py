@@ -434,3 +434,26 @@ def test_connection_burst_not_reset():
         httpd.shutdown_and_close()
     assert not errors, errors[:3]
     assert len(ok) == n_clients
+
+
+def test_npy_response_preserves_sampler_dtype():
+    """The npy payload carries the sampler's output dtype in its header —
+    a uint8 sampler (--serve_output uint8) serves 1-byte pixels end to
+    end, never upcast back to f32 by the HTTP layer."""
+    import numpy as np
+
+    def u8_call(key_data, t_vec):
+        rng = np.random.default_rng(int(t_vec.shape[0]))
+        return rng.integers(0, 256, (4, 8, 8, 1), dtype=np.uint8)
+
+    httpd = serve(u8_call, 4, port=0, max_delay_ms=2.0, block=False)
+    try:
+        status, ctype, payload = _post(httpd, {"n": 3})
+        assert status == 200
+        arr = np.load(io.BytesIO(payload))
+        assert arr.dtype == np.uint8 and arr.shape == (3, 8, 8, 1)
+        # PNG path quantizes identically from either dtype.
+        status, ctype, png = _post(httpd, {"n": 3, "format": "png"})
+        assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        httpd.shutdown_and_close()

@@ -166,3 +166,36 @@ def test_unknown_serve_dtype_rejected(setup):
     with pytest.raises(ValueError):
         ReloadableSampler(model, variables_from_state(state), B,
                           serve_dtype="fp8")
+
+
+def test_output_dtype_uint8_and_survives_swap(setup):
+    """output_dtype="uint8" quantizes pixels on the device (4x less
+    device->host transfer per dispatch) and, living in the jitted program
+    rather than the weights, survives every swap.  Values match host-side
+    quantization of the f32 path exactly (same program up to the cast)."""
+    model, state = setup
+    kd = jax.random.key_data(jax.random.PRNGKey(5))
+    t_vec = jnp.full((B,), 0.9, jnp.float32)
+    variables = variables_from_state(state)
+
+    f32 = ReloadableSampler(model, variables, B)
+    u8 = ReloadableSampler(model, variables, B, output_dtype="uint8")
+    assert u8.info["output_dtype"] == "uint8"
+
+    got = np.asarray(u8(kd, t_vec))
+    ref = np.asarray(f32(kd, t_vec))
+    assert got.dtype == np.uint8
+    want = np.round(np.clip(ref, 0.0, 1.0) * 255.0).astype(np.uint8)
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+    assert (got == want).mean() > 0.999
+
+    # Swapped weights keep the quantized output path.
+    bumped = jax.tree.map(lambda x: x + 0.01, variables["params"])
+    u8.swap({**variables, "params": bumped})
+    f32.swap({**variables, "params": bumped})
+    got2 = np.asarray(u8(kd, t_vec))
+    assert got2.dtype == np.uint8
+    ref2 = np.asarray(f32(kd, t_vec))
+    want2 = np.round(np.clip(ref2, 0.0, 1.0) * 255.0).astype(np.uint8)
+    assert (got2 == want2).mean() > 0.999
+    assert np.abs(got2.astype(np.int32) - got.astype(np.int32)).max() > 0

@@ -85,6 +85,11 @@ def main(argv=None):
                    help="Requests draw n uniformly from [1, max_n]")
     p.add_argument("--max_delay_ms", type=float, default=10.0,
                    help="Batching window (0 = full batches only)")
+    p.add_argument("--output_dtype", default="", choices=["", "uint8"],
+                   help="Device-side uint8 pixel quantization (4x less "
+                        "device->host transfer per dispatch)")
+    p.add_argument("--fetch_workers", type=int, default=2,
+                   help="Threads overlapping device->host result transfers")
     p.add_argument("--ckpt", default="",
                    help="Optional orbax checkpoint to bake in")
     p.add_argument("--quick", action="store_true",
@@ -92,6 +97,16 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # The axon sitecustomize force-sets jax_platforms at import, overriding
+    # the JAX_PLATFORMS env var — re-assert a non-plugin choice so CPU
+    # smokes actually run on CPU (same fix as serving_http).
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -126,7 +141,8 @@ def main(argv=None):
     variables = state.variables()
     log(f"init: {time.time() - t0:.1f}s")
 
-    call = jax.jit(build_sampler(model, variables, args.batch))
+    call = jax.jit(build_sampler(model, variables, args.batch,
+                                 output_dtype=args.output_dtype))
     # Compile + one sync outside the timed window.
     kd = jax.random.key_data(jax.random.PRNGKey(0))
     t0 = time.time()
@@ -135,7 +151,8 @@ def main(argv=None):
     log(f"compile+first dispatch: {time.time() - t0:.1f}s")
 
     httpd = serve(call, args.batch, port=0,
-                  max_delay_ms=args.max_delay_ms, block=False)
+                  max_delay_ms=args.max_delay_ms, block=False,
+                  fulfill_workers=args.fetch_workers)
     latencies: list = []
     counts: list = []
     stop = threading.Event()
@@ -187,6 +204,8 @@ def main(argv=None):
         "clients": args.clients,
         "max_n": args.max_n,
         "max_delay_ms": args.max_delay_ms,
+        "output_dtype": args.output_dtype or "float32",
+        "fetch_workers": args.fetch_workers,
         "seconds": round(wall, 2),
         "requests": reqs,
         "req_per_s": round(reqs / wall, 1),
