@@ -167,6 +167,13 @@ def parse_args(argv=None):
                    help="Launch a partial batch once the oldest queued "
                         "request has waited this long (latency/throughput "
                         "knob; 0 = full batches only)")
+    p.add_argument("--serve_batches", type=int, nargs="*", default=None,
+                   help="Additional (smaller) serving batch shapes beside "
+                        "--batch_size: partial dispatches run the smallest "
+                        "pre-compiled shape covering the backlog, so light "
+                        "load pays small-batch latency instead of padding "
+                        "the big program (multi-shape serving; live-model "
+                        "servers only)")
     p.add_argument("--serve_fetch_workers", type=int, default=2,
                    help="Threads overlapping device->host result transfers "
                         "(the serving bottleneck through a remote TPU "
@@ -520,14 +527,17 @@ def main(argv=None):
         print(f"Serving checkpoint at epoch {start} "
               f"(untrained weights if 0 and no checkpoint)"
               f"{' (EMA weights)' if args.use_ema else ''}")
-        call, reloader_factory = _build_serve_call(args, trainer, mesh)
+        call, reloader_factory, batches = _build_serve_call(
+            args, trainer, mesh)
         from nvae_tpu.serving_http import serve
 
         print(f"serving on http://{args.serve_host}:{args.serve_port} "
-              f"(batch {args.batch_size}, "
+              f"(batch{'es' if len(batches) > 1 else ''} "
+              f"{'/'.join(str(b) for b in batches)}, "
               f"max_delay {args.serve_max_delay_ms} ms"
               f"{', reloadable' if reloader_factory else ''})", flush=True)
-        serve(call, args.batch_size, host=args.serve_host,
+        serve(call, batches if len(batches) > 1 else args.batch_size,
+              host=args.serve_host,
               port=args.serve_port, max_delay_ms=args.serve_max_delay_ms,
               seed=args.seed, drain_signals=True,
               reloader_factory=reloader_factory,
@@ -563,8 +573,13 @@ def _build_serve_call(args, trainer, mesh):
     variables = variables_from_state(state)
     st = tuple(args.scale_temperatures) if args.scale_temperatures else None
     B = args.batch_size
+    batches = sorted(set((args.serve_batches or []) + [B]))
     reloader_factory = None
     if mesh is not None:
+        if len(batches) > 1:
+            raise SystemExit(
+                "--serve_batches is for live-model single-device serving; "
+                "the mesh sampler compiles one fixed shape")
         from nvae_tpu.serving import cast_params, quantize_params_int8
 
         if args.serve_dtype == "bfloat16":
@@ -589,10 +604,11 @@ def _build_serve_call(args, trainer, mesh):
             call, trainer.ckpt_dir, state, use_ema=args.use_ema
         )
         reloader_factory = lambda _sampler: reloader  # noqa: E731
-    # Warm the compile before accepting traffic.
+    # Warm every serving shape's compile before accepting traffic.
     kd = jax.random.key_data(jax.random.PRNGKey(9))
-    float(jnp.asarray(call(kd, jnp.ones((B,), jnp.float32))).mean())
-    return call, reloader_factory
+    for b in batches:
+        float(jnp.asarray(call(kd, jnp.ones((b,), jnp.float32))).mean())
+    return call, reloader_factory, batches
 
 
 if __name__ == "__main__":

@@ -192,6 +192,14 @@ class ReloadableSampler:
 
     ``serve_dtype`` applies the weight-only serving casts (bf16 / int8) to
     every tree swapped in, so a reload keeps the serving memory footprint.
+
+    The sampler is **shape-polymorphic over the served batch**: a vector
+    temperature's length picks the batch size, so one ReloadableSampler
+    backs multi-shape serving (``BatchingSampler(batch_size=[144, 576])``)
+    — jit compiles one program per distinct shape (cached thereafter) and
+    every program reads the SAME device weights, so a :meth:`swap` is
+    still one host→device transfer no matter how many shapes serve.
+    A scalar temperature samples the constructor ``n_samples``.
     """
 
     def __init__(self, model, variables, n_samples: int,
@@ -210,11 +218,15 @@ class ReloadableSampler:
         self._lock = threading.Lock()
 
         def fn(variables, key_data, temperature):
+            # Batch size from the temperature vector (static per jit
+            # specialization); scalar temperature = constructor default.
+            n = (temperature.shape[0] if getattr(temperature, "ndim", 0)
+                 else self.n_samples)
             rng = jax.random.wrap_key_data(key_data)
             vs = dict(variables)
             vs["params"] = dequantize_params(variables["params"])
             images, _, _, _ = model.apply(
-                vs, self.n_samples, temperature, True, self._st,
+                vs, n, temperature, True, self._st,
                 method=type(model).sample, rngs={"sample": rng},
             )
             return quantize_output(images, output_dtype)

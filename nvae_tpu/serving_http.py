@@ -176,11 +176,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
-            self._send_json(200, {
+            health = {
                 "status": "ok",
                 "batch_size": self.server.sampler.batch_size,
                 "max_delay_ms": self.server.sampler.max_delay_ms,
-            })
+            }
+            shapes = self.server.sampler.batch_sizes
+            if len(shapes) > 1:
+                health["batch_sizes"] = list(shapes)
+            self._send_json(200, health)
         elif self.path == "/stats":
             s = self.server.sampler.stats
             body = {
@@ -190,6 +194,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "requests": s.requests,
                 "occupancy": round(s.occupancy, 4),
             }
+            if len(self.server.sampler.batch_sizes) > 1:
+                body["dispatch_shapes"] = {
+                    str(k): v for k, v in sorted(s.dispatch_shapes.items())
+                }
             info = getattr(self.server.sampler.call_fn, "info", None)
             if info is not None:
                 body["weights"] = info
@@ -334,7 +342,9 @@ def serve(call_fn, batch_size: int, host: str = "127.0.0.1", port: int = 8000,
           follow_seconds: float = 0.0,
           fulfill_workers: int = 2) -> SamplerHTTPServer:
     """Start the HTTP server over ``call_fn`` (a ``(key_data, f32[B]) ->
-    images`` sampler).  ``block=False`` runs ``serve_forever`` on a daemon
+    images`` sampler).  ``batch_size`` may be a sequence for multi-shape
+    serving (see :class:`~nvae_tpu.serving_runtime.BatchingSampler`).
+    ``block=False`` runs ``serve_forever`` on a daemon
     thread and returns the server (tests; call ``shutdown_and_close``).
     ``drain_signals`` installs the SIGTERM/SIGINT drain-then-exit handler
     (main thread only — the production entry points set it).
@@ -478,6 +488,32 @@ def _build_call_from_artifact(path: str):
     return call, batch
 
 
+def _build_calls_from_artifacts(paths):
+    """One or more exported samplers as a single shape-dispatching call.
+
+    Each artifact's static batch is read off its temperature aval; with
+    several (different-batch exports of the same model), the returned
+    callable routes on ``t_vec.shape[0]`` — the multi-shape serving
+    contract (``BatchingSampler`` only ever calls configured shapes).
+    Returns ``(call, batch)`` where ``batch`` is an int for one artifact
+    or the sorted list of shapes for several."""
+    pairs = [_build_call_from_artifact(p) for p in paths]
+    if len(pairs) == 1:
+        return pairs[0]
+    by_batch = {}
+    for (fn, b), path in zip(pairs, paths):
+        if b in by_batch:
+            raise SystemExit(
+                f"duplicate artifact batch {b} ({path}); multi-shape "
+                "serving needs distinct batch sizes")
+        by_batch[b] = fn
+
+    def call(key_data, t_vec):
+        return by_batch[int(t_vec.shape[0])](key_data, t_vec)
+
+    return call, sorted(by_batch)
+
+
 def _honor_env_platform():
     # Plugin sitecustomize files (axon) force jax_platforms at import and
     # silently override the JAX_PLATFORMS env var — re-assert it so the
@@ -495,11 +531,15 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--artifact", default="",
+    ap.add_argument("--artifact", action="append", default=None,
                     help="Serve an exported StableHLO sampler "
                          "(tools/export_serving.py --per_sample_temperature)"
                          "; batch size comes from the artifact and "
-                         "--preset/--ckpt/--batch are ignored")
+                         "--preset/--ckpt/--batch are ignored.  Repeat the "
+                         "flag with DIFFERENT-batch exports of the same "
+                         "model for multi-shape serving (partial "
+                         "dispatches run the smallest artifact covering "
+                         "the backlog)")
     ap.add_argument("--preset", default="",
                     help="Model preset (default: tiny debug model)")
     ap.add_argument("--ckpt", default="",
@@ -536,29 +576,33 @@ def main(argv=None):
 
     _honor_env_platform()
     if args.artifact:
-        call, batch = _build_call_from_artifact(args.artifact)
+        call, batch = _build_calls_from_artifacts(args.artifact)
 
         def reloader_factory(sampler):
-            # Artifact reload: re-read the file at the startup path (the
-            # deploy flow exports new bytes to the same path).  Pays one
-            # compile inside the handler thread; the current weights keep
-            # serving until swap_call.  ``if_newer`` (follow mode) keys on
-            # the file mtime.
+            # Artifact reload: re-read the file(s) at the startup path(s)
+            # (the deploy flow exports new bytes to the same paths).  Pays
+            # the compiles inside the handler thread; the current weights
+            # keep serving until swap_call.  ``if_newer`` (follow mode)
+            # keys on the newest file mtime.
             import os
 
-            state = {"mtime": os.path.getmtime(args.artifact)}
+            def newest():
+                return max(os.path.getmtime(p) for p in args.artifact)
+
+            state = {"mtime": newest()}
 
             def reload(req: dict) -> dict:
-                mtime = os.path.getmtime(args.artifact)
+                mtime = newest()
                 if req.get("if_newer") and mtime <= state["mtime"]:
                     return {"artifact": args.artifact, "skipped": True}
-                new_call, new_batch = _build_call_from_artifact(
+                new_call, new_batch = _build_calls_from_artifacts(
                     args.artifact)
-                if new_batch != sampler.batch_size:
+                if tuple(new_batch if isinstance(new_batch, list)
+                         else [new_batch]) != sampler.batch_sizes:
                     raise ValueError(
-                        f"artifact batch changed ({sampler.batch_size} -> "
-                        f"{new_batch}); restart the server to change the "
-                        "serving batch")
+                        f"artifact batches changed ({sampler.batch_sizes} "
+                        f"-> {new_batch}); restart the server to change "
+                        "the serving shapes")
                 sampler.swap_call(new_call)
                 state["mtime"] = mtime
                 return {"artifact": args.artifact, "batch": new_batch}

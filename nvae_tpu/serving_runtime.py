@@ -122,6 +122,8 @@ class ServerStats:
     rows_served: int = 0
     rows_padded: int = 0
     requests: int = 0
+    # Multi-shape serving: how many dispatches ran at each batch size.
+    dispatch_shapes: dict = field(default_factory=dict)
 
     @property
     def occupancy(self) -> float:
@@ -138,9 +140,19 @@ class BatchingSampler:
     ----------
     call_fn:
         The compiled sampler.  Must accept ``(key_data uint32[2],
-        temperature f32[batch_size])`` and return ``images[batch_size, ...]``.
+        temperature f32[B])`` and return ``images[B, ...]`` for every
+        configured batch size (a shape-polymorphic jit like
+        :class:`~nvae_tpu.serving.ReloadableSampler` compiles one program
+        per shape; a fixed-shape artifact supports one).
     batch_size:
-        The sampler's static batch — the packing target.
+        The sampler's static batch — the packing target.  May be a
+        SEQUENCE of batch sizes (multi-shape serving): full dispatches use
+        the largest, while a partial dispatch (``max_delay_ms`` timeout or
+        flush) runs the smallest configured shape that covers the backlog —
+        XLA programs have static shapes, so "right-size the batch" means
+        "pick among pre-compiled programs", the TPU-serving counterpart of
+        a bucketed batch scheduler.  Light load then pays small-batch
+        compute + transfer instead of padding the big program.
     max_delay_ms:
         Launch a partial batch once the oldest queued request has waited
         this long.  0 never launches partial batches except on ``flush``/
@@ -182,7 +194,13 @@ class BatchingSampler:
         fulfill_workers: int = 2,
     ):
         self.call_fn = call_fn
-        self.batch_size = int(batch_size)
+        sizes = ([int(batch_size)] if isinstance(batch_size, (int, float))
+                 else [int(b) for b in batch_size])
+        if not sizes or any(b <= 0 for b in sizes):
+            raise ValueError(f"bad batch sizes {sizes}")
+        # Ascending; the largest is the packing target (`batch_size`).
+        self.batch_sizes = tuple(sorted(set(sizes)))
+        self.batch_size = self.batch_sizes[-1]
         self.max_delay_ms = float(max_delay_ms)
         self.partial_max_inflight = int(partial_max_inflight)
         self._inflight = 0
@@ -270,21 +288,31 @@ class BatchingSampler:
             jax.random.fold_in(self._base_key, dispatch_idx)
         )
 
-    def pack(self, pendings: List[_Pending]) -> np.ndarray:
+    def pack(self, pendings: List[_Pending], batch: int = 0) -> np.ndarray:
         """The packed f32[B] temperature vector for one dispatch (row i of
         the dispatch belongs to the request whose rows cover i, in queue
-        order; the tail is padding at ``PAD_TEMPERATURE``)."""
+        order; the tail is padding at ``PAD_TEMPERATURE``).  ``batch``
+        defaults to the largest configured shape."""
+        B = batch or self.batch_size
         temps = []
         for p in pendings:
-            take = min(p.rows_left, self.batch_size - len(temps))
+            take = min(p.rows_left, B - len(temps))
             temps.extend([p.temperature] * take)
-        temps.extend([PAD_TEMPERATURE] * (self.batch_size - len(temps)))
+        temps.extend([PAD_TEMPERATURE] * (B - len(temps)))
         return np.asarray(temps, np.float32)
+
+    def _pick_batch(self, rows: int) -> int:
+        """Smallest configured shape covering ``rows`` (the largest if none
+        does — the remainder rides the next dispatch)."""
+        for b in self.batch_sizes:
+            if b >= rows:
+                return b
+        return self.batch_size
 
     def _dispatch(self, pendings: List[_Pending]) -> None:
         """Launch one batch serving (prefixes of) ``pendings`` in order."""
-        B = self.batch_size
-        t_vec = self.pack(pendings)
+        B = self._pick_batch(sum(p.rows_left for p in pendings))
+        t_vec = self.pack(pendings, B)
         try:
             images = self.call_fn(
                 self._key_data(self.stats.dispatches), jnp.asarray(t_vec)
@@ -302,6 +330,15 @@ class BatchingSampler:
         with self._inflight_lock:
             self._inflight += 1
         result = _DispatchResult(images, on_done=self._dispatch_done)
+        # Stats update BEFORE any fulfillment is submitted: a client whose
+        # future resolved must see this dispatch in /stats.
+        filled = min(sum(p.rows_left for p in pendings), B)
+        self.stats.dispatches += 1
+        self.stats.rows_served += filled
+        self.stats.rows_padded += B - filled
+        self.stats.dispatch_shapes[B] = (
+            self.stats.dispatch_shapes.get(B, 0) + 1
+        )
         row = 0
         for p in pendings:
             take = min(p.rows_left, B - row)
@@ -312,9 +349,6 @@ class BatchingSampler:
             row += take
             if p.rows_left == 0:
                 self._fulfiller.submit(p.fulfill)
-        self.stats.dispatches += 1
-        self.stats.rows_served += row
-        self.stats.rows_padded += B - row
 
     def _run(self) -> None:
         B = self.batch_size

@@ -457,3 +457,75 @@ def test_npy_response_preserves_sampler_dtype():
         assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         httpd.shutdown_and_close()
+
+
+def test_multi_shape_http_serving():
+    """serve() with batch_size=[4, 8]: healthz advertises the shapes, a
+    light request dispatches the small program (visible in /stats
+    dispatch_shapes), and a full batch uses the big one."""
+    import numpy as np
+
+    def call(key_data, t_vec):
+        b = int(t_vec.shape[0])
+        return np.full((b, 2, 2, 1), 0.5, np.float32)
+
+    httpd = serve(call, [4, 8], port=0, max_delay_ms=3.0, block=False)
+    try:
+        with urllib.request.urlopen(_url(httpd, "/healthz"), timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["batch_size"] == 8 and health["batch_sizes"] == [4, 8]
+
+        status, _, body = _post(httpd, {"n": 2})
+        assert status == 200
+        arr = np.load(io.BytesIO(body))
+        assert arr.shape == (2, 2, 2, 1)
+        status, _, body = _post(httpd, {"n": 8})
+        assert status == 200
+
+        with urllib.request.urlopen(_url(httpd, "/stats"), timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["dispatch_shapes"] == {"4": 1, "8": 1}
+    finally:
+        httpd.shutdown_and_close()
+
+
+def test_multi_artifact_standalone_serving(tmp_path):
+    """Two different-batch exports of the same debug model served by one
+    standalone server: requests route to the artifact whose shape covers
+    them."""
+    import importlib.util
+    import os as _os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "export_serving",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "export_serving.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    a2 = str(tmp_path / "s2.shlo")
+    a6 = str(tmp_path / "s6.shlo")
+    tool.main(["--out", a2, "--debug", "--batch", "2", "--platforms", "cpu",
+               "--per_sample_temperature"])
+    tool.main(["--out", a6, "--debug", "--batch", "6", "--platforms", "cpu",
+               "--per_sample_temperature"])
+
+    from nvae_tpu.serving_http import _build_calls_from_artifacts
+
+    call, batches = _build_calls_from_artifacts([a6, a2])
+    assert batches == [2, 6]
+    httpd = serve(call, batches, port=0, max_delay_ms=3.0, block=False)
+    try:
+        status, _, body = _post(httpd, {"n": 2, "temperature": 0.8})
+        assert status == 200
+        arr = np.load(io.BytesIO(body))
+        assert arr.shape[0] == 2
+        status, _, body = _post(httpd, {"n": 5, "temperature": 0.8})
+        assert status == 200
+        assert np.load(io.BytesIO(body)).shape[0] == 5
+        with urllib.request.urlopen(_url(httpd, "/stats"), timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["dispatch_shapes"] == {"2": 1, "6": 1}
+    finally:
+        httpd.shutdown_and_close()

@@ -199,3 +199,28 @@ def test_output_dtype_uint8_and_survives_swap(setup):
     want2 = np.round(np.clip(ref2, 0.0, 1.0) * 255.0).astype(np.uint8)
     assert (got2 == want2).mean() > 0.999
     assert np.abs(got2.astype(np.int32) - got.astype(np.int32)).max() > 0
+
+
+def test_reloadable_sampler_is_shape_polymorphic(setup):
+    """One ReloadableSampler serves several batch shapes (jit specializes
+    per shape) and ONE swap updates all of them — the multi-shape serving
+    contract.  Rows are bitwise-equal across shapes? No — threefry bits
+    depend on the sampled array's shape; what must hold is that each shape
+    runs, returns its own batch, and serves the swapped weights."""
+    model, state = setup
+    variables = variables_from_state(state)
+    s = ReloadableSampler(model, variables, B)
+    kd = jax.random.key_data(jax.random.PRNGKey(2))
+    small = np.asarray(s(kd, jnp.full((2,), 0.8, jnp.float32)))
+    big = np.asarray(s(kd, jnp.full((B,), 0.8, jnp.float32)))
+    assert small.shape[0] == 2 and big.shape[0] == B
+    # Scalar temperature keeps the constructor batch (back-compat).
+    scalar = np.asarray(s(kd, jnp.float32(0.8)))
+    assert scalar.shape[0] == B
+
+    s.swap({**variables,
+            "params": jax.tree.map(lambda x: x + 0.05, variables["params"])})
+    small2 = np.asarray(s(kd, jnp.full((2,), 0.8, jnp.float32)))
+    big2 = np.asarray(s(kd, jnp.full((B,), 0.8, jnp.float32)))
+    assert np.abs(small2 - small).max() > 0  # both shapes see new weights
+    assert np.abs(big2 - big).max() > 0

@@ -206,3 +206,56 @@ def test_partial_batches_throttled_while_dispatch_inflight():
     assert srv.stats.dispatches <= 6, srv.stats
     assert srv.stats.occupancy >= 0.25, srv.stats
     assert srv.stats.rows_served == 12
+
+
+def test_multi_shape_dispatch_picks_smallest_covering_batch():
+    """batch_size=[4, 8]: full load dispatches the big shape; a partial
+    (timeout) dispatch runs the smallest pre-compiled shape that covers
+    the backlog — light load pays small-batch compute instead of padding
+    the 8-wide program."""
+    import numpy as np
+
+    shapes_called = []
+
+    def call(key_data, t_vec):
+        b = int(t_vec.shape[0])
+        shapes_called.append(b)
+        return np.full((b, 2, 2, 1), b, np.float32)
+
+    srv = BatchingSampler(call, [4, 8], max_delay_ms=5.0)
+    try:
+        assert srv.batch_sizes == (4, 8) and srv.batch_size == 8
+        # 3 rows queued, then the delay timer fires: B=4 covers it.
+        out = srv.submit(3, 0.7).result(timeout=10)
+        assert out.shape == (3, 2, 2, 1) and float(out[0, 0, 0, 0]) == 4.0
+        # 8 rows = one full big dispatch.
+        out = srv.submit(8, 0.7).result(timeout=10)
+        assert out.shape[0] == 8 and float(out[0, 0, 0, 0]) == 8.0
+        # 5 rows: only the 8-shape covers it (4 < 5).
+        out = srv.submit(5, 0.7).result(timeout=10)
+        assert float(out[0, 0, 0, 0]) == 8.0
+        assert srv.stats.dispatch_shapes == {4: 1, 8: 2}
+        # Occupancy accounting uses the ACTUAL dispatched shape.
+        assert srv.stats.rows_served == 16
+        assert srv.stats.rows_padded == (4 - 3) + 0 + (8 - 5)
+    finally:
+        srv.close()
+
+
+def test_multi_shape_request_spanning_shapes():
+    """A request larger than the biggest shape spans dispatches, and the
+    tail rides the smallest covering shape."""
+    import numpy as np
+
+    def call(key_data, t_vec):
+        b = int(t_vec.shape[0])
+        return np.full((b, 1), b, np.float32)
+
+    srv = BatchingSampler(call, [2, 8], max_delay_ms=5.0)
+    try:
+        out = srv.submit(9, 1.0).result(timeout=10)  # 8 + 1 -> shapes 8, 2
+        assert out.shape == (9, 1)
+        assert list(out[:8, 0]) == [8.0] * 8 and out[8, 0] == 2.0
+        assert srv.stats.dispatch_shapes == {8: 1, 2: 1}
+    finally:
+        srv.close()
