@@ -75,8 +75,10 @@ def _client_loop(httpd, deadline, max_n, rng, latencies, counts, stop):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=144,
-                   help="Server batch (the packing target)")
+    p.add_argument("--batch", type=int, nargs="+", default=[144],
+                   help="Server batch (the packing target); several values "
+                        "= multi-shape serving (partial dispatches run the "
+                        "smallest shape covering the backlog)")
     p.add_argument("--clients", type=int, default=32,
                    help="Concurrent HTTP clients")
     p.add_argument("--seconds", type=float, default=20.0,
@@ -117,7 +119,7 @@ def main(argv=None):
 
     if args.quick:
         model_cfg = debug_config()
-        args.batch = min(args.batch, 16)
+        args.batch = [min(b, 16) for b in args.batch]
         args.clients = min(args.clients, 4)
         args.seconds = min(args.seconds, 3.0)
         args.max_n = min(args.max_n, 6)
@@ -141,16 +143,24 @@ def main(argv=None):
     variables = state.variables()
     log(f"init: {time.time() - t0:.1f}s")
 
-    call = jax.jit(build_sampler(model, variables, args.batch,
+    batches = sorted(set(args.batch))
+    by_batch = {
+        b: jax.jit(build_sampler(model, variables, b,
                                  output_dtype=args.output_dtype))
-    # Compile + one sync outside the timed window.
+        for b in batches
+    }
+    call = (by_batch[batches[0]] if len(batches) == 1
+            else lambda kd, t: by_batch[int(t.shape[0])](kd, t))
+    # Compile + one sync per shape outside the timed window.
     kd = jax.random.key_data(jax.random.PRNGKey(0))
     t0 = time.time()
-    float(jnp.asarray(
-        call(kd, jnp.full((args.batch,), 0.8, jnp.float32))).mean())
+    for b in batches:
+        float(jnp.asarray(
+            call(kd, jnp.full((b,), 0.8, jnp.float32))).mean())
     log(f"compile+first dispatch: {time.time() - t0:.1f}s")
 
-    httpd = serve(call, args.batch, port=0,
+    httpd = serve(call, batches if len(batches) > 1 else batches[0],
+                  port=0,
                   max_delay_ms=args.max_delay_ms, block=False,
                   fulfill_workers=args.fetch_workers)
     latencies: list = []
@@ -170,6 +180,7 @@ def main(argv=None):
         httpd.sampler.stats.dispatches = 0
         httpd.sampler.stats.rows_served = 0
         httpd.sampler.stats.rows_padded = 0
+        httpd.sampler.stats.dispatch_shapes = {}
 
         deadline = time.monotonic() + args.seconds
         t_start = time.monotonic()
@@ -200,7 +211,7 @@ def main(argv=None):
     report = {
         "metric": "serving_http",
         "platform": jax.default_backend(),
-        "batch": args.batch,
+        "batch": batches if len(batches) > 1 else batches[0],
         "clients": args.clients,
         "max_n": args.max_n,
         "max_delay_ms": args.max_delay_ms,
@@ -214,6 +225,8 @@ def main(argv=None):
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]), 1)
         if len(lat) else None,
         "dispatches": stats.dispatches,
+        "dispatch_shapes": {str(k): v for k, v in
+                            sorted(stats.dispatch_shapes.items())},
         "occupancy": round(stats.occupancy, 3),
     }
     print(json.dumps(report))
