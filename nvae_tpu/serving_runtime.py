@@ -68,22 +68,34 @@ class _DispatchResult:
     (measured ~125 ms per fresh shape on CPU) and pay a dispatch round-trip
     even when warm."""
 
-    __slots__ = ("_images", "_np", "_lock", "_on_done")
+    __slots__ = ("_images", "_np", "_err", "_lock", "_on_done")
 
     def __init__(self, images, on_done=None):
         self._images = images
         self._np = None
+        self._err = None
         self._lock = threading.Lock()
         self._on_done = on_done
 
     def numpy(self) -> np.ndarray:
         with self._lock:
+            if self._err is not None:
+                raise self._err
             if self._np is None:
-                self._np = np.asarray(self._images)
-                self._images = None  # free the device buffer
-                if self._on_done is not None:
-                    self._on_done()
-                    self._on_done = None
+                try:
+                    self._np = np.asarray(self._images)
+                except BaseException as e:
+                    # Remember the failure for later riders, and still run
+                    # on_done: the dispatch is no longer in flight, and the
+                    # worker's partial-batch throttle must not count a dead
+                    # dispatch forever.
+                    self._err = e
+                    raise
+                finally:
+                    self._images = None  # free the device buffer
+                    done, self._on_done = self._on_done, None
+                    if done is not None:
+                        done()
             return self._np
 
 
@@ -108,8 +120,10 @@ class _Pending:
             ]
             if len(arrays) == 1:
                 # Plain copy so the (possibly shared) dispatch buffer isn't
-                # pinned by a view held in the caller's result.
-                self.future.set_result(np.ascontiguousarray(arrays[0]))
+                # pinned by a view held in the caller's result — must be
+                # .copy(): ascontiguousarray returns contiguous row-slices
+                # as views, which would keep the whole batch alive.
+                self.future.set_result(arrays[0].copy())
             else:
                 self.future.set_result(np.concatenate(arrays, axis=0))
         except BaseException as e:  # never strand a waiter
@@ -371,7 +385,16 @@ class BatchingSampler:
             # then drain everything already queued — a flush must pack the
             # whole queue, never a partial view of it.
             timeout = 0.05
-            if backlog and self.max_delay_ms > 0 and not self._flush.is_set():
+            if (
+                backlog
+                and self.max_delay_ms > 0
+                and not self._flush.is_set()
+                # While partials are throttled on in-flight dispatches the
+                # deadline can't fire anyway — keep the 50 ms poll instead
+                # of spinning at timeout 0 until a dispatch materializes
+                # (the done sentinel wakes the get immediately regardless).
+                and self._inflight_count() < self.partial_max_inflight
+            ):
                 deadline = backlog[0].t_enqueue + self.max_delay_ms / 1e3
                 timeout = min(max(deadline - time.monotonic(), 0.0), 0.05)
             try:

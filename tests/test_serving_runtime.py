@@ -259,3 +259,56 @@ def test_multi_shape_request_spanning_shapes():
         assert srv.stats.dispatch_shapes == {8: 1, 2: 1}
     finally:
         srv.close()
+
+
+class _FailingResult:
+    """A device-result stand-in whose host materialization raises (the
+    remote-runtime failure mode: dispatch enqueue succeeds, the transfer
+    dies)."""
+
+    def __array__(self, dtype=None):
+        raise RuntimeError("transfer died")
+
+    @property
+    def shape(self):
+        return (4, 1)
+
+
+def test_failed_transfer_releases_inflight_slot():
+    """A dispatch whose device->host transfer fails must (a) fail its
+    riders' futures, and (b) still release its in-flight slot — otherwise
+    `partial_max_inflight` failures would throttle partial dispatches
+    forever (the worker would count dead dispatches as in flight)."""
+    calls = {"n": 0}
+
+    def flaky_call(key_data, t_vec):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return _FailingResult()
+        return np.full((int(t_vec.shape[0]), 1), 7.0, np.float32)
+
+    srv = BatchingSampler(flaky_call, 4, max_delay_ms=1.0,
+                          partial_max_inflight=1)
+    try:
+        bad = srv.submit(1, 0.7)
+        with pytest.raises(RuntimeError, match="transfer died"):
+            bad.result(timeout=10)
+        # The dead dispatch must not occupy the single in-flight slot:
+        # this partial (timeout-fired) dispatch has to launch and serve.
+        out = srv.submit(1, 0.7).result(timeout=10)
+        assert out.shape == (1, 1) and float(out[0, 0]) == 7.0
+        assert srv._inflight_count() == 0
+    finally:
+        srv.close()
+
+
+def test_single_part_result_does_not_pin_dispatch_buffer():
+    """A request served from one span must get a COPY, not a view pinning
+    the whole dispatch batch (ascontiguousarray returns contiguous slices
+    as views)."""
+    with BatchingSampler(_fake_sampler(4), 4, max_delay_ms=0) as srv:
+        f1 = srv.submit(1, 0.7)
+        f2 = srv.submit(3, 0.9)
+        out = f1.result(timeout=10)
+    assert out.base is None, "result must own its memory"
+    assert f2.result(timeout=10).shape == (3, 2, 2, 1)
