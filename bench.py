@@ -199,6 +199,26 @@ def main():
         log(f"init: {time.time() - t0:.1f}s, {n_params / 1e6:.2f}M params")
         return model, state, tx
 
+    def step_flops_per_image(model, tx, tcfg, state, bs):
+        """Analytic MXU flops (2 x MAC of every conv/matmul, fwd+bwd+update)
+        per image — traced shape-only from the config (utils/flops.py), the
+        roofline numerator for MFU (VERDICT r3 #2)."""
+        from nvae_tpu.utils.flops import train_step_flops
+
+        t0 = time.time()
+        fl = train_step_flops(model, tx, tcfg, state, bs) / bs
+        log(f"analytic step flops: {fl * bs / 1e9:.2f} GFLOP/step "
+            f"({fl / 1e9:.3f} GFLOP/image, traced in "
+            f"{time.time() - t0:.1f}s)")
+        return fl
+
+    def mfu_of(images_per_sec, flops_per_image):
+        """Achieved MXU fraction of one v5e chip's 197 TFLOP/s bf16 peak
+        (conservative for fp32 configs, whose true ceiling is ~half)."""
+        from nvae_tpu.utils.flops import PEAK_FLOPS_BF16
+
+        return images_per_sec * flops_per_image / PEAK_FLOPS_BF16
+
     def run_scan_epoch(model_cfg, tag="", bs=None):
         """Sustained scan-epoch throughput for one model config (the
         device-resident lax.scan training path)."""
@@ -212,6 +232,7 @@ def main():
         tcfg = TrainConfig(batch_size=bs, step_based_warmup=True)
         tsteps = 400 * (60000 // bs)
         model, state, tx = build(model_cfg, tcfg, tsteps)
+        flops_img = step_flops_per_image(model, tx, tcfg, state, bs)
         n_train = (2080 if args.quick else 15000) // bs * bs
         bundle = synthetic_dataset(n_train=n_train, n_test=bs)
         steps_per_epoch = n_train // bs
@@ -228,8 +249,9 @@ def main():
             float(metrics["loss"])  # true device sync
             dt = time.time() - t0
             n_images = steps_per_epoch * bs
-            log(f"epoch {e}{tag}: {dt:.2f}s, {n_images / dt:.1f} img/s")
-        return n_images / dt
+            log(f"epoch {e}{tag}: {dt:.2f}s, {n_images / dt:.1f} img/s "
+                f"(MFU {mfu_of(n_images / dt, flops_img):.3f})")
+        return n_images / dt, flops_img
 
     if args.mode == "ladder":
         # Rung 1: the parity fp32 model (architecture- and numerics-faithful
@@ -241,20 +263,26 @@ def main():
             bn_apply_dtype="bfloat16",
             postprocess_5x5_depthwise=True,
         )
-        parity = run_scan_epoch(ModelConfig(), tag=" [parity-fp32]")
-        best = run_scan_epoch(best_cfg, tag=" [best dw+bf16+bnbf16]")
+        parity, parity_fl = run_scan_epoch(ModelConfig(), tag=" [parity-fp32]")
+        best, best_fl = run_scan_epoch(best_cfg, tag=" [best dw+bf16+bnbf16]")
         # Rung 3: the same best config at its measured saturation batch
         # (2x the reference's 144; b576 regresses — HBM working-set bound).
-        peak = run_scan_epoch(
+        peak, peak_fl = run_scan_epoch(
             best_cfg, tag=f" [best b{ladder_peak_bs}]", bs=ladder_peak_bs
         )
         log(f"ladder: parity fp32 {parity:.1f} img/s "
-            f"({parity / BASELINE_IMAGES_PER_SEC:.1f}x), best b{bs} "
-            f"{best:.1f} img/s ({best / BASELINE_IMAGES_PER_SEC:.1f}x), "
+            f"({parity / BASELINE_IMAGES_PER_SEC:.1f}x, MFU "
+            f"{mfu_of(parity, parity_fl):.3f}), best b{bs} "
+            f"{best:.1f} img/s ({best / BASELINE_IMAGES_PER_SEC:.1f}x, MFU "
+            f"{mfu_of(best, best_fl):.3f}), "
             f"peak b{ladder_peak_bs} {peak:.1f} img/s "
-            f"({peak / BASELINE_IMAGES_PER_SEC:.1f}x)")
+            f"({peak / BASELINE_IMAGES_PER_SEC:.1f}x, MFU "
+            f"{mfu_of(peak, peak_fl):.3f})")
         final = max(best, peak)
         final_bs = ladder_peak_bs if peak >= best else bs
+        final_fl = peak_fl if peak >= best else best_fl
+        from nvae_tpu.utils.flops import PEAK_FLOPS_BF16
+
         print(
             json.dumps(
                 {
@@ -265,14 +293,20 @@ def main():
                     "vs_baseline": round(
                         final / BASELINE_IMAGES_PER_SEC, 2
                     ),
+                    "mfu": round(mfu_of(final, final_fl), 4),
+                    "flops_per_image": round(final_fl),
+                    "peak_flops_bf16": PEAK_FLOPS_BF16,
                     f"best_b{bs}_value": round(best, 1),
                     f"best_b{bs}_vs_baseline": round(
                         best / BASELINE_IMAGES_PER_SEC, 2
                     ),
+                    f"best_b{bs}_mfu": round(mfu_of(best, best_fl), 4),
                     "parity_fp32_value": round(parity, 1),
                     "parity_fp32_vs_baseline": round(
                         parity / BASELINE_IMAGES_PER_SEC, 2
                     ),
+                    "parity_fp32_mfu": round(mfu_of(parity, parity_fl), 4),
+                    "parity_fp32_flops_per_image": round(parity_fl),
                 }
             )
         )
@@ -285,7 +319,7 @@ def main():
         use_pallas_kernels=args.use_pallas,
     )
     if args.mode == "scan_epoch":
-        images_per_sec = run_scan_epoch(model_cfg)
+        images_per_sec, flops_img = run_scan_epoch(model_cfg)
         print(
             json.dumps(
                 {
@@ -295,12 +329,19 @@ def main():
                     "vs_baseline": round(
                         images_per_sec / BASELINE_IMAGES_PER_SEC, 2
                     ),
+                    "mfu": round(mfu_of(images_per_sec, flops_img), 4),
+                    "flops_per_image": round(flops_img),
                 }
             )
         )
         return
 
     model, state, tx = build(model_cfg)
+    flops_img = (
+        step_flops_per_image(model, tx, train_cfg, state, args.batch_size)
+        if args.mode in ("step", "epoch")
+        else 0.0
+    )
 
     # Donation is on by default (re-validated on the chip in round 2: no
     # stalls over repeated step/epoch runs; the SIGALRM budget still guards
@@ -378,6 +419,8 @@ def main():
                     "vs_baseline": round(
                         images_per_sec / BASELINE_IMAGES_PER_SEC, 2
                     ),
+                    "mfu": round(mfu_of(images_per_sec, flops_img), 4),
+                    "flops_per_image": round(flops_img),
                 }
             )
         )
@@ -444,7 +487,8 @@ def main():
     images_per_sec = args.batch_size / med
     log(
         f"{len(times)} steps, median {med * 1e3:.1f} ms -> "
-        f"{images_per_sec:.1f} img/s (loss {loss:.2f})"
+        f"{images_per_sec:.1f} img/s (loss {loss:.2f}, MFU "
+        f"{mfu_of(images_per_sec, flops_img):.3f})"
     )
 
     print(
@@ -454,6 +498,8 @@ def main():
                 "value": round(images_per_sec, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+                "mfu": round(mfu_of(images_per_sec, flops_img), 4),
+                "flops_per_image": round(flops_img),
             }
         )
     )

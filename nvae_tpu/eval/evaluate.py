@@ -287,7 +287,7 @@ def evaluate_fid_against_dir(
     extraction batched on device instead of a TF1 session.  Default
     backbone is Inception pool_3, matching the reference's disk FID
     (``fid_utils.py:245-316``)."""
-    from nvae_tpu.utils.images import load_images_from_dir, sample_to_dir
+    from nvae_tpu.utils.images import ImageDirectory, sample_to_dir
 
     # Clear only previously generated images (the reference clears its own
     # regenerated dir, evaluate.py:152-154); never touch non-image files.
@@ -299,8 +299,10 @@ def evaluate_fid_against_dir(
         batch_size, sample_size, temperature, out_dir,
     )
     extractor = get_extractor(feature_backbone)
-    real = load_images_from_dir(real_dir).astype(np.float32) / 255.0
-    gen = load_images_from_dir(out_dir).astype(np.float32) / 255.0
+    # Lazy directory views: only one extraction batch of PNGs is decoded
+    # at a time (O(batch) host RAM at any directory size).
+    real = ImageDirectory(real_dir)
+    gen = ImageDirectory(out_dir)
     return fid_from_features(
         extract_features(real, extractor), extract_features(gen, extractor)
     )

@@ -41,9 +41,12 @@ def compute_statistics_of_path(
             return d["mu"], d["sigma"]
     if not os.path.isdir(path):
         raise FileNotFoundError(f"not a stats file or image directory: {path}")
-    from nvae_tpu.utils.images import load_images_from_dir
+    from nvae_tpu.utils.images import ImageDirectory
 
-    images = load_images_from_dir(path, limit=limit).astype(np.float32) / 255.0
+    # Lazy view: extract_features slices per batch, so only batch_size
+    # images are ever decoded/held on host — O(batch) RAM at any directory
+    # size (the reference's per-batch decode, fid_utils.py:404-452).
+    images = ImageDirectory(path, limit=limit)
     feats = extract_features(
         images, get_extractor(backbone, input_size=input_size), batch_size
     )

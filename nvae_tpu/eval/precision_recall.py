@@ -11,12 +11,24 @@ rows over the mesh's ``data`` axis with a ``NamedSharding`` — GSPMD then
 splits every distance matrix across devices and inserts the gather/reduce
 collectives (tested at 10k x 10k on an 8-device mesh,
 ``tests/test_parallel.py``).
+
+The ``mesh=`` sharding COMPOSES with the streamed row/col tiers: above
+``row_batch_size`` rows the radii/membership passes stream column blocks
+with rows AND columns sharded over ``data`` (peak per-device memory
+O(N*D/devices + row_batch*col_batch/devices + col_batch*D)), so
+multi-device metric sharding works at any N — the reference's
+``DistanceBlock`` + row/col batching combined (``precision_recall.py:34-113``).
+
+``ManifoldEstimator`` adds the reference's full evaluate() surface
+(``precision_recall.py:64-151``): per-sample manifold membership, the
+realism score ``max_j radii_j / (d_ij + eps)``, nearest-reference indices,
+and the ``clamp_to_percentile`` hypersphere prune.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -51,9 +63,18 @@ def _knn_radii(features: jax.Array, k: int) -> jax.Array:
     return -neg_topk[:, k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "col_batch"))
+def _block_constraint(x: jax.Array, mesh: Optional[Mesh], spec: P):
+    """Pin ``x`` to ``spec`` over ``mesh`` inside a jitted program (no-op
+    without a mesh)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "col_batch", "mesh"))
 def _knn_radii_rows(
-    rows: jax.Array, features: jax.Array, k: int, col_batch: int
+    rows: jax.Array, features: jax.Array, k: int, col_batch: int,
+    mesh: Optional[Mesh] = None,
 ) -> jax.Array:
     """k-NN radii for ``rows`` against the full (sentinel-padded) feature
     set, streaming over column blocks: a running top-(k+1) smallest-distance
@@ -61,11 +82,19 @@ def _knn_radii_rows(
     is O(R * col_batch) instead of O(N^2).  This is the reference's own
     row/col batching (``precision_recall.py:97-106``) as one XLA scan.
 
+    With ``mesh``, rows are sharded over ``data`` and each scanned column
+    block is sharded over ``data`` too — GSPMD all-gathers one
+    (col_batch, D) block per scan step and keeps every distance tile
+    row-sharded, so the streamed pass runs at O(row*col/devices) tile
+    memory (the DistanceBlock split composed with streaming).
+
     ``features.shape[0]`` must be a multiple of ``col_batch`` (callers pad
     with ``_PAD_SENTINEL`` rows, which sit ~1e30 away and never enter a
     real row's top-k)."""
     n = features.shape[0]
     blocks = features.reshape(n // col_batch, col_batch, features.shape[1])
+    blocks = _block_constraint(blocks, mesh, P(None, "data", None))
+    rows = _block_constraint(rows, mesh, P("data", None))
 
     def body(best, block):
         d = pairwise_sq_dists(rows, block)  # (R, col_batch)
@@ -74,33 +103,53 @@ def _knn_radii_rows(
         return -neg_topk, None
 
     init = jnp.full((rows.shape[0], k + 1), jnp.inf, rows.dtype)
+    init = _block_constraint(init, mesh, P("data", None))
     best, _ = jax.lax.scan(body, init, blocks)
     # best is the k+1 smallest distances ascending, self (0) included.
     return best[:, k]
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_sentinel(x: jax.Array, n_rows: int) -> jax.Array:
+    """Append sentinel rows so ``x`` has ``n_rows`` rows."""
+    pad = n_rows - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad, x.shape[1]), _PAD_SENTINEL, x.dtype)]
+    )
+
+
 def _knn_radii_batched(
-    features: jax.Array, k: int, row_batch_size: int
+    features: jax.Array, k: int, row_batch_size: int,
+    mesh: Optional[Mesh] = None,
 ) -> jax.Array:
     """Host loop over row blocks of ``_knn_radii_rows`` — bounds the radii
     pass at O(row_batch^2) device memory for any N (the full-matrix
-    ``_knn_radii`` needs O(N^2): 40 GB at N=100k)."""
+    ``_knn_radii`` needs O(N^2): 40 GB at N=100k).  With ``mesh`` each row
+    block and column block is sharded over ``data`` (see
+    ``_knn_radii_rows``)."""
     n, d = features.shape
     col_batch = min(row_batch_size, n)
-    pad = (-n) % col_batch
-    padded = features
-    if pad:
-        padded = jnp.concatenate(
-            [features, jnp.full((pad, d), _PAD_SENTINEL, features.dtype)]
-        )
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    col_batch = _round_up(col_batch, n_data)
+    padded = _pad_sentinel(features, _round_up(n, col_batch))
+    if mesh is not None:
+        padded = jax.device_put(padded, NamedSharding(mesh, P("data", None)))
     out = []
     for i in range(0, n, row_batch_size):
-        out.append(
-            _knn_radii_rows(
-                features[i : i + row_batch_size], padded, k, col_batch
-            )
-        )
-    return jnp.concatenate(out)
+        rows = features[i : i + row_batch_size]
+        r = rows.shape[0]
+        rows = _pad_sentinel(rows, _round_up(r, n_data))
+        if mesh is not None:
+            rows = jax.device_put(rows, NamedSharding(mesh, P("data", None)))
+        # Device-side slice: dispatches stay async (no per-block host sync —
+        # through a device tunnel each sync costs a full RTT).
+        out.append(_knn_radii_rows(rows, padded, k, col_batch, mesh)[:r])
+    return jnp.concatenate(out) if len(out) > 1 else out[0]
 
 
 @jax.jit
@@ -111,15 +160,17 @@ def _membership(eval_feats: jax.Array, ref_feats: jax.Array, radii: jax.Array):
     return jnp.any(d <= radii[None, :], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("col_batch",))
+@functools.partial(jax.jit, static_argnames=("col_batch", "mesh"))
 def _membership_rows(
-    rows: jax.Array, ref_feats: jax.Array, radii: jax.Array, col_batch: int
+    rows: jax.Array, ref_feats: jax.Array, radii: jax.Array, col_batch: int,
+    mesh: Optional[Mesh] = None,
 ) -> jax.Array:
     """Column-streamed membership: OR-accumulate ``any(d <= radius)`` over
     (R, col_batch) distance tiles instead of materializing the full (R, N)
     matrix — O(R * col_batch) memory at any reference-set size (the
     membership-side complement of ``_knn_radii_rows``; at N=1M the full
-    tile would be 40 GB per 10k row block).
+    tile would be 40 GB per 10k row block).  With ``mesh`` the tiles are
+    row-sharded and the blocks column-sharded over ``data``.
 
     ``ref_feats.shape[0]`` must be a multiple of ``col_batch`` (callers pad
     with ``_PAD_SENTINEL`` rows whose radii are <0, so they never admit a
@@ -131,6 +182,9 @@ def _membership_rows(
     n = ref_feats.shape[0]
     blocks = ref_feats.reshape(n // col_batch, col_batch, ref_feats.shape[1])
     radii_blocks = radii.reshape(n // col_batch, col_batch)
+    blocks = _block_constraint(blocks, mesh, P(None, "data", None))
+    radii_blocks = _block_constraint(radii_blocks, mesh, P(None, "data"))
+    rows = _block_constraint(rows, mesh, P("data", None))
 
     def body(inside, block_and_radii):
         block, r = block_and_radii
@@ -138,8 +192,56 @@ def _membership_rows(
         return inside | jnp.any(d <= r[None, :], axis=1), None
 
     init = jnp.zeros((rows.shape[0],), jnp.bool_)
+    init = _block_constraint(init, mesh, P("data"))
     inside, _ = jax.lax.scan(body, init, (blocks, radii_blocks))
     return inside
+
+
+@functools.partial(jax.jit, static_argnames=("col_batch", "eps", "mesh"))
+def _realism_neighbor_rows(
+    rows: jax.Array, ref_feats: jax.Array, radii: jax.Array, col_batch: int,
+    eps: float, mesh: Optional[Mesh] = None,
+):
+    """Column-streamed realism + nearest-neighbor pass (reference
+    ``ManifoldEstimator.evaluate`` lines 141-142): per eval row, accumulate
+    ``max_j radii_j / (d_ij + eps)`` and ``argmin_j d_ij`` over
+    (R, col_batch) distance tiles.  Sentinel-padded reference rows carry
+    radius 0 and distance ~1e30, so they contribute ~0 realism and never
+    win the argmin.  Returns (realism (R,), neighbor_idx (R,) int32)."""
+    n = ref_feats.shape[0]
+    blocks = ref_feats.reshape(n // col_batch, col_batch, ref_feats.shape[1])
+    radii_blocks = radii.reshape(n // col_batch, col_batch)
+    offsets = (jnp.arange(n // col_batch) * col_batch).astype(jnp.int32)
+    blocks = _block_constraint(blocks, mesh, P(None, "data", None))
+    radii_blocks = _block_constraint(radii_blocks, mesh, P(None, "data"))
+    rows = _block_constraint(rows, mesh, P("data", None))
+
+    def body(carry, xs):
+        best_real, best_d, best_idx = carry
+        block, r, off = xs
+        d = pairwise_sq_dists(rows, block)  # (R, col_batch)
+        real = jnp.max(r[None, :] / (d + eps), axis=1)
+        d_loc = jnp.min(d, axis=1)
+        i_loc = jnp.argmin(d, axis=1).astype(jnp.int32)
+        take = d_loc < best_d  # strict: earlier block wins ties (np.argmin)
+        return (
+            jnp.maximum(best_real, real),
+            jnp.where(take, d_loc, best_d),
+            jnp.where(take, off + i_loc, best_idx),
+        ), None
+
+    init = (
+        jnp.full((rows.shape[0],), -jnp.inf, jnp.float32),
+        jnp.full((rows.shape[0],), jnp.inf, jnp.float32),
+        jnp.zeros((rows.shape[0],), jnp.int32),
+    )
+    init = tuple(
+        _block_constraint(x, mesh, P("data")) for x in init
+    )
+    (real, _, idx), _ = jax.lax.scan(
+        body, init, (blocks, radii_blocks, offsets)
+    )
+    return real, idx
 
 
 def _pad_rows_sharded(x: jax.Array, mesh: Mesh):
@@ -156,13 +258,184 @@ def _pad_rows_sharded(x: jax.Array, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P("data"))), n
 
 
+def _radii_for(
+    features: jax.Array, k: int, row_batch_size: int,
+    mesh: Optional[Mesh],
+) -> jax.Array:
+    """Hypersphere radii via the cheapest path that bounds memory: the full
+    N x N matrix below ``row_batch_size`` rows, the streamed row/col pass
+    above it — both mesh-shardable."""
+    n = features.shape[0]
+    if n > row_batch_size:
+        return _knn_radii_batched(features, k, row_batch_size, mesh)
+    if mesh is not None:
+        padded, n_real = _pad_rows_sharded(features, mesh)
+        radii = _knn_radii(padded, k)
+        row_ids = jnp.arange(padded.shape[0])
+        return jnp.where(row_ids < n_real, radii, -1.0)[:n_real]
+    return _knn_radii(features, k)
+
+
+def _batched_membership(
+    eval_feats: jax.Array, ref_feats: jax.Array, radii: jax.Array,
+    row_batch_size: int, mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Membership of every eval row in the reference manifold, row-batched
+    (and column-streamed above ``row_batch_size`` reference rows) — the
+    reference's row/col batching (``precision_recall.py:97-106``) with peak
+    memory O(row_batch^2) at any N, optionally sharded over ``mesh``."""
+    nb, d_feat = ref_feats.shape
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    stream_cols = nb > row_batch_size
+    if stream_cols:
+        col_batch = _round_up(min(row_batch_size, nb), n_data)
+        target = _round_up(nb, col_batch)
+    else:
+        # Full-matrix tile; with a mesh, still pad + shard the reference
+        # side so the (rows, N) distance tile is split across devices (the
+        # reference's DistanceBlock split, precision_recall.py:51-56).
+        target = _round_up(nb, n_data)
+    if target != nb:
+        ref_feats = _pad_sentinel(ref_feats, target)
+        # Sentinel hyperspheres must admit nobody.
+        radii = jnp.concatenate(
+            [radii, jnp.full((target - nb,), -1.0, radii.dtype)]
+        )
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data", None))
+        ref_feats = jax.device_put(ref_feats, sh)
+        radii = jax.device_put(radii, NamedSharding(mesh, P("data")))
+    hits = []
+    for i in range(0, eval_feats.shape[0], row_batch_size):
+        rows = eval_feats[i : i + row_batch_size]
+        r = rows.shape[0]
+        rows = _pad_sentinel(rows, _round_up(r, n_data))
+        if mesh is not None:
+            rows = jax.device_put(rows, NamedSharding(mesh, P("data", None)))
+        hit = (
+            _membership_rows(rows, ref_feats, radii, col_batch, mesh)
+            if stream_cols
+            else _membership(rows, ref_feats, radii)
+        )
+        # Device-side slice keeps the block dispatches async.
+        hits.append(hit[:r])
+    return jnp.concatenate(hits) if len(hits) > 1 else hits[0]
+
+
+class ManifoldEstimator:
+    """Manifold of a feature set as k-NN hyperspheres — the reference's
+    ``ManifoldEstimator`` (``precision_recall.py:64-151``) with its full
+    evaluate() surface: membership, realism scores, nearest-neighbor
+    indices, and the ``clamp_to_percentile`` prune (radii above the given
+    percentile are zeroed, ``precision_recall.py:111-113``).
+
+    All passes stream row/col tiles above ``row_batch_size`` and shard over
+    ``mesh`` when given; radii are held per neighborhood size.
+    """
+
+    def __init__(
+        self,
+        features,
+        nhood_sizes: Sequence[int] = (3,),
+        row_batch_size: int = 10000,
+        clamp_to_percentile: Optional[float] = None,
+        eps: float = 1e-5,
+        mesh: Optional[Mesh] = None,
+    ):
+        feats = jnp.asarray(features, jnp.float32)
+        self.nhood_sizes = tuple(int(k) for k in nhood_sizes)
+        self.row_batch_size = int(row_batch_size)
+        self.eps = float(eps)
+        self.mesh = mesh
+        self._features = feats
+        self.radii: Dict[int, jax.Array] = {
+            k: _radii_for(feats, k, self.row_batch_size, mesh)
+            for k in self.nhood_sizes
+        }
+        if clamp_to_percentile is not None:
+            for k in self.nhood_sizes:
+                r = self.radii[k]
+                cutoff = jnp.percentile(r, clamp_to_percentile)
+                self.radii[k] = jnp.where(r > cutoff, 0.0, r)
+
+    def evaluate(
+        self,
+        eval_features,
+        return_realism: bool = False,
+        return_neighbors: bool = False,
+    ):
+        """Per-sample membership of ``eval_features`` in this manifold
+        (reference ``evaluate``, ``precision_recall.py:115-151``): an
+        (E, len(nhood_sizes)) int32 array, optionally with the realism
+        score ``max_j radii_j / (d_ij + eps)`` (k = nhood_sizes[0] radii)
+        and the nearest-reference index per sample, in the reference's
+        return-tuple order."""
+        ev = jnp.asarray(eval_features, jnp.float32)
+        preds = jnp.stack(
+            [
+                _batched_membership(
+                    ev, self._features, self.radii[k],
+                    self.row_batch_size, self.mesh,
+                ).astype(jnp.int32)
+                for k in self.nhood_sizes
+            ],
+            axis=1,
+        )
+        if not (return_realism or return_neighbors):
+            return preds
+
+        ref = self._features
+        radii0 = self.radii[self.nhood_sizes[0]]
+        nb = ref.shape[0]
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        col_batch = _round_up(min(self.row_batch_size, nb), n_data)
+        target = _round_up(nb, col_batch)
+        if target != nb:
+            ref = _pad_sentinel(ref, target)
+            radii0 = jnp.concatenate(
+                [radii0, jnp.zeros((target - nb,), radii0.dtype)]
+            )
+        if self.mesh is not None:
+            ref = jax.device_put(
+                ref, NamedSharding(self.mesh, P("data", None))
+            )
+            radii0 = jax.device_put(
+                radii0, NamedSharding(self.mesh, P("data"))
+            )
+        reals, idxs = [], []
+        for i in range(0, ev.shape[0], self.row_batch_size):
+            rows = ev[i : i + self.row_batch_size]
+            r = rows.shape[0]
+            rows = _pad_sentinel(rows, _round_up(r, n_data))
+            if self.mesh is not None:
+                rows = jax.device_put(
+                    rows, NamedSharding(self.mesh, P("data", None))
+                )
+            real, idx = _realism_neighbor_rows(
+                rows, ref, radii0, col_batch, self.eps, self.mesh
+            )
+            # Device-side slices keep the block dispatches async.
+            reals.append(real[:r])
+            idxs.append(idx[:r])
+        realism = jnp.concatenate(reals) if len(reals) > 1 else reals[0]
+        neighbors = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+        if return_realism and return_neighbors:
+            return preds, realism, neighbors
+        if return_realism:
+            return preds, realism
+        return preds, neighbors
+
+
 def knn_precision_recall_features(
     ref_features,
     eval_features,
     nhood_sizes: Sequence[int] = (3,),
     row_batch_size: int = 10000,
     mesh: Mesh | None = None,
-) -> Dict[str, float]:
+    clamp_to_percentile: Optional[float] = None,
+    return_realism: bool = False,
+    return_neighbors: bool = False,
+) -> Dict[str, object]:
     """Precision/recall between reference (real) and eval (generated)
     feature sets (reference ``knn_precision_recall_features``,
     ``precision_recall.py:155-195``).
@@ -173,79 +446,53 @@ def knn_precision_recall_features(
     Returns ``precision``/``recall`` for the FIRST neighborhood size plus
     ``precision_k{k}``/``recall_k{k}`` for every requested k (the reference
     returns per-k arrays, ``precision_recall.py:168-170``).
+    ``return_realism`` adds ``realism`` (per eval sample, vs the reference
+    manifold); ``return_neighbors`` adds ``nearest_neighbors`` (index of
+    each eval sample's nearest reference row) — the reference's
+    ``evaluate(return_realism=, return_neighbors=)`` outputs.
+    ``clamp_to_percentile`` prunes hyperspheres above that radius
+    percentile (reference ``precision_recall.py:111-113``).
 
     ``mesh``: shard the feature matrices' rows over the mesh's ``data``
     axis — the TPU-native form of the reference's multi-GPU
-    ``DistanceBlock`` (``precision_recall.py:34-60``).  Padded sentinel
-    rows (sharding needs even splits) sit ~1e30 away from the data, so
-    they never enter any real sample's k-NN; their own radii are sliced
-    off, and padded reference radii are set to -1 so no eval sample can
-    land inside them.
+    ``DistanceBlock`` (``precision_recall.py:34-60``).  Composes with the
+    streamed row/col tier: above ``row_batch_size`` rows every pass
+    streams sharded column blocks, so memory stays
+    O(row_batch * col_batch / devices) at any N.  Padded sentinel rows
+    (sharding needs even splits) sit ~1e30 away from the data, so they
+    never enter any real sample's k-NN; their own radii are sliced off or
+    set to -1 so no eval sample can land inside them.
     """
     ref = jnp.asarray(ref_features, jnp.float32)
     ev = jnp.asarray(eval_features, jnp.float32)
-    n_ref, n_ev = ref.shape[0], ev.shape[0]
-    if mesh is not None:
-        ref, _ = _pad_rows_sharded(ref, mesh)
-        ev, _ = _pad_rows_sharded(ev, mesh)
 
-    state: Dict[str, float] = {}
-    for k in nhood_sizes:
-        if mesh is None and max(n_ref, n_ev) > row_batch_size:
-            # Stream the radii pass over row/col blocks — O(row_batch^2)
-            # memory for any N (100k x 100k never materializes).
-            ref_radii = _knn_radii_batched(ref, k, row_batch_size)
-            ev_radii = _knn_radii_batched(ev, k, row_batch_size)
-        else:
-            ref_radii = _knn_radii(ref, k)
-            ev_radii = _knn_radii(ev, k)
-        if mesh is not None:
-            # Kill the padded hyperspheres; keep radii row-sharded.
-            row_ids_ref = jnp.arange(ref.shape[0])
-            row_ids_ev = jnp.arange(ev.shape[0])
-            ref_radii = jnp.where(row_ids_ref < n_ref, ref_radii, -1.0)
-            ev_radii = jnp.where(row_ids_ev < n_ev, ev_radii, -1.0)
-            precision = _membership(ev, ref, ref_radii)[:n_ev]
-            recall = _membership(ref, ev, ev_radii)[:n_ref]
-        else:
-            # Row-batch the cross matrices to bound memory (the reference's
-            # row/col batching, precision_recall.py:97-106).  Above
-            # row_batch_size columns the inner pass streams column blocks
-            # too (_membership_rows), so peak memory is O(row_batch^2) at
-            # any N — 1M x 1M never materializes anything bigger than one
-            # 10k x 10k tile.
-            def batched_membership(a, b, radii):
-                nb, d_feat = b.shape
-                stream_cols = nb > row_batch_size
-                if stream_cols:
-                    col_batch = min(row_batch_size, nb)
-                    pad = (-nb) % col_batch
-                    if pad:
-                        b = jnp.concatenate(
-                            [b, jnp.full((pad, d_feat), _PAD_SENTINEL,
-                                         b.dtype)]
-                        )
-                        # Sentinel hyperspheres must admit nobody.
-                        radii = jnp.concatenate(
-                            [radii, jnp.full((pad,), -1.0, radii.dtype)]
-                        )
-                hits = []
-                for i in range(0, a.shape[0], row_batch_size):
-                    rows = a[i : i + row_batch_size]
-                    hits.append(
-                        _membership_rows(rows, b, radii, col_batch)
-                        if stream_cols
-                        else _membership(rows, b, radii)
-                    )
-                return jnp.concatenate(hits)
+    ref_manifold = ManifoldEstimator(
+        ref, nhood_sizes, row_batch_size, clamp_to_percentile, mesh=mesh
+    )
+    eval_manifold = ManifoldEstimator(
+        ev, nhood_sizes, row_batch_size, clamp_to_percentile, mesh=mesh
+    )
 
-            precision = batched_membership(ev, ref, ref_radii)
-            recall = batched_membership(ref, ev, ev_radii)
+    state: Dict[str, object] = {}
+    precision = ref_manifold.evaluate(
+        ev, return_realism=return_realism, return_neighbors=return_neighbors
+    )
+    if return_realism or return_neighbors:
+        precision, *extras = precision
+        if return_realism:
+            state["realism"] = np.asarray(extras[0])
+        if return_neighbors:
+            state["nearest_neighbors"] = np.asarray(extras[-1])
+    recall = eval_manifold.evaluate(ref)
+
+    for j, k in enumerate(ref_manifold.nhood_sizes):
         state[f"precision_k{k}"] = float(
-            jnp.mean(precision.astype(jnp.float32))
+            jnp.mean(precision[:, j].astype(jnp.float32))
         )
-        state[f"recall_k{k}"] = float(jnp.mean(recall.astype(jnp.float32)))
-    k0 = nhood_sizes[0]
+        state[f"recall_k{k}"] = float(
+            jnp.mean(recall[:, j].astype(jnp.float32))
+        )
+    k0 = ref_manifold.nhood_sizes[0]
     state["precision"] = state[f"precision_k{k0}"]
     state["recall"] = state[f"recall_k{k0}"]
     return state

@@ -80,7 +80,12 @@ class _DispatchResult:
     def numpy(self) -> np.ndarray:
         with self._lock:
             if self._err is not None:
-                raise self._err
+                # Fresh exception per rider, chained to the original:
+                # re-raising the same instance from concurrent fulfiller
+                # threads would mutate a shared __traceback__.
+                raise RuntimeError(
+                    f"dispatch transfer failed: {self._err}"
+                ) from self._err
             if self._np is None:
                 try:
                     self._np = np.asarray(self._images)
@@ -122,8 +127,16 @@ class _Pending:
                 # Plain copy so the (possibly shared) dispatch buffer isn't
                 # pinned by a view held in the caller's result — must be
                 # .copy(): ascontiguousarray returns contiguous row-slices
-                # as views, which would keep the whole batch alive.
-                self.future.set_result(arrays[0].copy())
+                # as views, which would keep the whole batch alive.  When
+                # the single span IS the whole batch (n == B), the view
+                # pins nothing extra — skip the full-batch memcpy.
+                d, row, take = self.parts[0]
+                whole = row == 0 and take == arrays[0].shape[0] == len(
+                    d.numpy()
+                )
+                self.future.set_result(
+                    arrays[0] if whole else arrays[0].copy()
+                )
             else:
                 self.future.set_result(np.concatenate(arrays, axis=0))
         except BaseException as e:  # never strand a waiter

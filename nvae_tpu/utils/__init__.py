@@ -1,4 +1,5 @@
 from nvae_tpu.utils.images import (  # noqa: F401
+    ImageDirectory,
     load_images_from_dir,
     sample_to_dir,
     save_images_to_dir,

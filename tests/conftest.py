@@ -45,6 +45,50 @@ def pytest_configure(config):
         "slow: multi-minute integration tests (full training loops, "
         "end-to-end eval protocols); deselect with -m 'not slow'",
     )
+    config.addinivalue_line(
+        "markers",
+        "quick: <5-minute smoke tier — one representative test per "
+        "subsystem (`pytest -m quick`); the full suite is for "
+        "end-of-round validation only (VERDICT r3 #6)",
+    )
+
+
+# The quick tier: (file, test-function) pairs, one or two per subsystem,
+# chosen for small compiles.  Centralised here so the tier is auditable in
+# one place instead of scattered decorators.
+_QUICK = {
+    ("test_ops.py", "test_kl_matches_analytic"),
+    ("test_ops.py", "test_softclamp5_bounds_and_identity"),
+    ("test_losses.py", "test_balanced_kl_golden_small_case"),
+    ("test_blocks.py", "test_squeeze_excitation_gates_channels"),
+    ("test_blocks.py", "test_batchnorm_updates_stats_in_train_only"),
+    ("test_model.py", "test_forward_shapes"),
+    ("test_data.py", "test_synthetic_dataset_deterministic"),
+    ("test_data.py", "test_prepare_batch_pads_and_binarizes"),
+    ("test_train.py", "test_train_step_reduces_loss"),
+    ("test_parallel.py", "test_mesh_shapes"),
+    ("test_parallel.py", "test_batch_sharded_across_devices"),
+    ("test_pipeline.py", "test_stage_names"),
+    ("test_serving_runtime.py", "test_full_batches_pack_across_requests"),
+    ("test_ema.py", "test_track_ema_closed_form"),
+    ("test_eval.py", "test_matches_scipy_sqrtm"),
+    ("test_eval.py", "test_identical_sets_give_perfect_pr"),
+    ("test_eval.py", "test_evaluate_matches_numpy_oracle"),
+    ("test_images.py", "test_save_and_load_roundtrip"),
+    ("test_images.py", "test_image_directory_streams_batches"),
+    ("test_kernels.py", "test_se_gate_matches_reference"),
+    ("test_cli.py", "test_scale_temperatures_length_validated"),
+    ("test_compile_cache.py", "test_enable_is_idempotent_and_returns_dir"),
+    ("test_export.py", "test_quantize_params_int8_library"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = os.path.basename(str(item.fspath))
+        name = item.name.split("[")[0]
+        if (base, name) in _QUICK:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture(scope="session")

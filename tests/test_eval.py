@@ -131,6 +131,138 @@ class TestPrecisionRecall:
         assert pr["recall"] < 0.5
 
 
+def _np_manifold_oracle(ref, ev, nhood_sizes, clamp=None, eps=1e-5):
+    """NumPy transliteration of reference ``ManifoldEstimator``
+    (``precision_recall.py:93-142``): radii, percentile clamp, membership,
+    realism, nearest neighbors."""
+    d_ref = ((ref[:, None] - ref[None]) ** 2).sum(-1)
+    D = np.sort(d_ref, axis=1)[:, list(nhood_sizes)]  # (N, num_nhoods)
+    if clamp is not None:
+        max_distances = np.percentile(D, clamp, axis=0)
+        D[D > max_distances] = 0
+    d = ((ev[:, None] - ref[None]) ** 2).sum(-1)  # (E, N)
+    preds = np.any(d[:, :, None] <= D[None, :, :], axis=1).astype(np.int32)
+    realism = np.max(D[:, 0] / (d + eps), axis=1)
+    neighbors = np.argmin(d, axis=1)
+    return preds, realism, neighbors
+
+
+class TestManifoldEstimator:
+    """The reference's full evaluate() surface (``precision_recall.py:
+    64-151``): realism, nearest neighbors, clamp_to_percentile — against a
+    NumPy oracle (VERDICT r3 #4)."""
+
+    def test_evaluate_matches_numpy_oracle(self):
+        from nvae_tpu.eval.precision_recall import ManifoldEstimator
+
+        rng = np.random.RandomState(11)
+        ref = rng.randn(50, 8).astype(np.float32)
+        ev = (rng.randn(40, 8) * 0.8 + 0.2).astype(np.float32)
+        est = ManifoldEstimator(ref, nhood_sizes=(3, 5))
+        preds, realism, neighbors = est.evaluate(
+            ev, return_realism=True, return_neighbors=True
+        )
+        want_p, want_r, want_n = _np_manifold_oracle(ref, ev, (3, 5))
+        np.testing.assert_array_equal(np.asarray(preds), want_p)
+        np.testing.assert_allclose(
+            np.asarray(realism), want_r, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(neighbors), want_n)
+
+    def test_evaluate_streamed_matches_oracle(self):
+        """Row/col-streamed tiles (row_batch_size < N, ragged final block)
+        must produce identical realism/neighbor/membership outputs."""
+        from nvae_tpu.eval.precision_recall import ManifoldEstimator
+
+        rng = np.random.RandomState(12)
+        ref = rng.randn(70, 8).astype(np.float32)
+        ev = (rng.randn(45, 8) * 0.7).astype(np.float32)
+        est = ManifoldEstimator(ref, nhood_sizes=(3,), row_batch_size=32)
+        preds, realism, neighbors = est.evaluate(
+            ev, return_realism=True, return_neighbors=True
+        )
+        want_p, want_r, want_n = _np_manifold_oracle(ref, ev, (3,))
+        np.testing.assert_array_equal(np.asarray(preds), want_p)
+        np.testing.assert_allclose(
+            np.asarray(realism), want_r, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(neighbors), want_n)
+
+    def test_clamp_to_percentile(self):
+        from nvae_tpu.eval.precision_recall import ManifoldEstimator
+
+        rng = np.random.RandomState(13)
+        ref = rng.randn(60, 8).astype(np.float32)
+        ev = (rng.randn(30, 8) * 0.8).astype(np.float32)
+        est = ManifoldEstimator(
+            ref, nhood_sizes=(3,), clamp_to_percentile=50.0
+        )
+        # Half the hyperspheres are pruned to radius 0.
+        radii = np.asarray(est.radii[3])
+        assert (radii == 0).sum() == pytest.approx(30, abs=2)
+        preds = est.evaluate(ev)
+        want_p, _, _ = _np_manifold_oracle(ref, ev, (3,), clamp=50.0)
+        np.testing.assert_array_equal(np.asarray(preds), want_p)
+
+    def test_knn_pr_realism_and_neighbors_keys(self):
+        rng = np.random.RandomState(14)
+        real = rng.randn(64, 8).astype(np.float32)
+        gen = (rng.randn(48, 8) * 0.9).astype(np.float32)
+        pr = knn_precision_recall_features(
+            real, gen, return_realism=True, return_neighbors=True
+        )
+        assert pr["realism"].shape == (48,)
+        assert pr["nearest_neighbors"].shape == (48,)
+        assert pr["nearest_neighbors"].dtype == np.int32
+        assert (pr["nearest_neighbors"] >= 0).all()
+        assert (pr["nearest_neighbors"] < 64).all()
+        want_p, want_r, want_n = _np_manifold_oracle(real, gen, (3,))
+        np.testing.assert_allclose(
+            pr["realism"], want_r, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(pr["nearest_neighbors"], want_n)
+
+    def test_mesh_composes_with_streaming(self):
+        """VERDICT r3 #3: mesh sharding must compose with the streamed
+        row/col tier — N > row_batch_size with mesh= takes the streamed
+        path (rows AND column blocks sharded over 'data') and must equal
+        the single-device streamed result."""
+        from nvae_tpu.eval.precision_recall import (
+            _knn_radii_batched,
+            knn_precision_recall_features,
+        )
+        from nvae_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+        rng = np.random.RandomState(15)
+        real = rng.randn(203, 16).astype(np.float32)  # ragged blocks
+        gen = (rng.randn(157, 16) * 0.8 + 0.2).astype(np.float32)
+
+        # Radii: streamed + sharded == streamed single-device.
+        base_r = np.asarray(_knn_radii_batched(jnp.asarray(real), 3, 64))
+        mesh_r = np.asarray(
+            _knn_radii_batched(jnp.asarray(real), 3, 64, mesh=mesh)
+        )
+        np.testing.assert_allclose(mesh_r, base_r, rtol=1e-5, atol=1e-5)
+
+        # Full P&R + realism/neighbors through the streamed mesh path.
+        kw = dict(
+            nhood_sizes=(3,), row_batch_size=64,
+            return_realism=True, return_neighbors=True,
+        )
+        base = knn_precision_recall_features(real, gen, **kw)
+        sharded = knn_precision_recall_features(real, gen, mesh=mesh, **kw)
+        for key in ("precision", "recall"):
+            np.testing.assert_allclose(sharded[key], base[key], atol=1e-6)
+        np.testing.assert_allclose(
+            sharded["realism"], base["realism"], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            sharded["nearest_neighbors"], base["nearest_neighbors"]
+        )
+        assert 0.0 < base["precision"] < 1.0
+
+
 class TestPPL:
     def test_slerp_pair_shapes(self):
         rng = jax.random.PRNGKey(0)

@@ -45,6 +45,41 @@ def test_save_and_load_roundtrip(tmp_path):
     )
 
 
+def test_image_directory_streams_batches(tmp_path):
+    """VERDICT r3 #5: the lazy ImageDirectory decodes only the sliced
+    batch, so FID over a large directory runs at O(batch) host RAM; the
+    streamed statistics must equal the eager-load statistics."""
+    from nvae_tpu.eval.fid import compute_statistics_of_path
+    from nvae_tpu.eval.features import extract_features, get_extractor
+    from nvae_tpu.utils.images import ImageDirectory
+
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(40, 8, 8, 1).astype(np.float32)
+    save_images_to_dir(imgs, str(tmp_path))
+
+    d = ImageDirectory(str(tmp_path))
+    assert len(d) == 40
+    assert d[0].shape == (8, 8, 1) and d[0].dtype == np.float32
+    assert d[3:7].shape == (4, 8, 8, 1)
+    assert d.max_slice_decoded == 4  # nothing bigger was ever decoded
+
+    # Streamed statistics == eager statistics (same files, same batching).
+    mu_s, sig_s = compute_statistics_of_path(
+        str(tmp_path), backbone="random_conv", batch_size=16
+    )
+    eager = load_images_from_dir(str(tmp_path)).astype(np.float32) / 255.0
+    feats = extract_features(eager, get_extractor("random_conv"), 16)
+    np.testing.assert_allclose(mu_s, feats.mean(axis=0), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(sig_s, np.cov(feats, rowvar=False),
+                               rtol=1e-4, atol=1e-5)
+
+    # The directory view never decoded more than one extraction batch.
+    d2 = ImageDirectory(str(tmp_path))
+    extract_features(d2, get_extractor("random_conv"), 16)
+    assert d2.max_slice_decoded == 16
+
+
 def test_native_writer_matches_pil(tmp_path):
     native_png = pytest.importorskip("nvae_tpu.utils.native_png")
     if not native_png.available():
