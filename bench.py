@@ -367,6 +367,12 @@ def main():
 
         sample_jit = jax.jit(sample_fn)
         key = jax.random.PRNGKey(0)
+        # Generation-path MFU numerator: conv/matmul FLOPs of one sampling
+        # dispatch (decoder+postprocess only — no encoder/backward).
+        from nvae_tpu.utils.flops import traced_flops
+
+        sample_flops_img = traced_flops(sample_fn, variables, key) / args.batch_size
+        log(f"analytic sample flops: {sample_flops_img / 1e9:.3f} GFLOP/image")
         t0 = time.time()
         float(sample_jit(variables, key)[0, 0, 0, 0])
         log(f"sample compile: {time.time() - t0:.1f}s")
@@ -377,7 +383,8 @@ def main():
         float(out[0, 0, 0, 0])  # true device sync
         dt = time.time() - t0
         images_per_sec = reps * args.batch_size / dt
-        log(f"{reps} sample batches in {dt:.2f}s -> {images_per_sec:.1f} img/s")
+        log(f"{reps} sample batches in {dt:.2f}s -> {images_per_sec:.1f} "
+            f"img/s (MFU {mfu_of(images_per_sec, sample_flops_img):.3f})")
         print(
             json.dumps(
                 {
@@ -385,6 +392,8 @@ def main():
                     "value": round(images_per_sec, 1),
                     "unit": "images/sec",
                     "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+                    "mfu": round(mfu_of(images_per_sec, sample_flops_img), 4),
+                    "flops_per_image": round(sample_flops_img),
                 }
             )
         )

@@ -147,8 +147,10 @@ def _knn_radii_batched(
         if mesh is not None:
             rows = jax.device_put(rows, NamedSharding(mesh, P("data", None)))
         # Device-side slice: dispatches stay async (no per-block host sync —
-        # through a device tunnel each sync costs a full RTT).
-        out.append(_knn_radii_rows(rows, padded, k, col_batch, mesh)[:r])
+        # through a device tunnel each sync costs a full RTT); skipped when
+        # nothing was padded (a no-op slice still costs one dispatch RTT).
+        radii = _knn_radii_rows(rows, padded, k, col_batch, mesh)
+        out.append(radii if radii.shape[0] == r else radii[:r])
     return jnp.concatenate(out) if len(out) > 1 else out[0]
 
 
@@ -317,8 +319,9 @@ def _batched_membership(
             if stream_cols
             else _membership(rows, ref_feats, radii)
         )
-        # Device-side slice keeps the block dispatches async.
-        hits.append(hit[:r])
+        # Device-side slice keeps the block dispatches async; skipped when
+        # nothing was padded (a no-op slice still costs one dispatch RTT).
+        hits.append(hit if hit.shape[0] == r else hit[:r])
     return jnp.concatenate(hits) if len(hits) > 1 else hits[0]
 
 
@@ -358,6 +361,17 @@ class ManifoldEstimator:
                 cutoff = jnp.percentile(r, clamp_to_percentile)
                 self.radii[k] = jnp.where(r > cutoff, 0.0, r)
 
+    def membership(self, eval_features, k: int) -> jax.Array:
+        """Raw per-sample membership (E,) bool for one neighborhood size —
+        the minimal-dispatch path ``knn_precision_recall_features`` uses
+        (no stacking / column slicing, each of which costs one dispatch
+        RTT through a device tunnel)."""
+        ev = jnp.asarray(eval_features, jnp.float32)
+        return _batched_membership(
+            ev, self._features, self.radii[k], self.row_batch_size,
+            self.mesh,
+        )
+
     def evaluate(
         self,
         eval_features,
@@ -373,10 +387,7 @@ class ManifoldEstimator:
         ev = jnp.asarray(eval_features, jnp.float32)
         preds = jnp.stack(
             [
-                _batched_membership(
-                    ev, self._features, self.radii[k],
-                    self.row_batch_size, self.mesh,
-                ).astype(jnp.int32)
+                self.membership(ev, k).astype(jnp.int32)
                 for k in self.nhood_sizes
             ],
             axis=1,
@@ -414,9 +425,10 @@ class ManifoldEstimator:
             real, idx = _realism_neighbor_rows(
                 rows, ref, radii0, col_batch, self.eps, self.mesh
             )
-            # Device-side slices keep the block dispatches async.
-            reals.append(real[:r])
-            idxs.append(idx[:r])
+            # Device-side slices keep the block dispatches async; no-op
+            # slices are skipped (each costs one dispatch RTT).
+            reals.append(real if real.shape[0] == r else real[:r])
+            idxs.append(idx if idx.shape[0] == r else idx[:r])
         realism = jnp.concatenate(reals) if len(reals) > 1 else reals[0]
         neighbors = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
         if return_realism and return_neighbors:
@@ -474,23 +486,36 @@ def knn_precision_recall_features(
     )
 
     state: Dict[str, object] = {}
-    precision = ref_manifold.evaluate(
-        ev, return_realism=return_realism, return_neighbors=return_neighbors
-    )
     if return_realism or return_neighbors:
-        precision, *extras = precision
+        preds, *extras = ref_manifold.evaluate(
+            ev, return_realism=return_realism,
+            return_neighbors=return_neighbors,
+        )
+        precision_k = [
+            preds[:, j] for j in range(len(ref_manifold.nhood_sizes))
+        ]
         if return_realism:
             state["realism"] = np.asarray(extras[0])
         if return_neighbors:
             state["nearest_neighbors"] = np.asarray(extras[-1])
-    recall = eval_manifold.evaluate(ref)
+    else:
+        # Minimal-dispatch path: raw per-k membership, no stack/column
+        # slices (each extra device op costs one dispatch RTT through a
+        # remote tunnel — measured 1.56 s vs 1.24 s at 10k x 10k).
+        precision_k = [
+            ref_manifold.membership(ev, k)
+            for k in ref_manifold.nhood_sizes
+        ]
+    recall_k = [
+        eval_manifold.membership(ref, k) for k in eval_manifold.nhood_sizes
+    ]
 
     for j, k in enumerate(ref_manifold.nhood_sizes):
         state[f"precision_k{k}"] = float(
-            jnp.mean(precision[:, j].astype(jnp.float32))
+            jnp.mean(precision_k[j].astype(jnp.float32))
         )
         state[f"recall_k{k}"] = float(
-            jnp.mean(recall[:, j].astype(jnp.float32))
+            jnp.mean(recall_k[j].astype(jnp.float32))
         )
     k0 = ref_manifold.nhood_sizes[0]
     state["precision"] = state[f"precision_k{k0}"]
