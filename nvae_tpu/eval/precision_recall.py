@@ -200,50 +200,64 @@ def _membership_rows(
 
 
 @functools.partial(jax.jit, static_argnames=("col_batch", "eps", "mesh"))
-def _realism_neighbor_rows(
-    rows: jax.Array, ref_feats: jax.Array, radii: jax.Array, col_batch: int,
-    eps: float, mesh: Optional[Mesh] = None,
+def _evaluate_rows(
+    rows: jax.Array, ref_feats: jax.Array, radii_mat: jax.Array,
+    col_batch: int, eps: float, mesh: Optional[Mesh] = None,
 ):
-    """Column-streamed realism + nearest-neighbor pass (reference
-    ``ManifoldEstimator.evaluate`` lines 141-142): per eval row, accumulate
-    ``max_j radii_j / (d_ij + eps)`` and ``argmin_j d_ij`` over
-    (R, col_batch) distance tiles.  Sentinel-padded reference rows carry
-    radius 0 and distance ~1e30, so they contribute ~0 realism and never
-    win the argmin.  Returns (realism (R,), neighbor_idx (R,) int32)."""
+    """Fused evaluate pass: ONE distance tile per column block feeds
+    membership for every neighborhood size, the realism score, and the
+    nearest-neighbor index (the reference derives all three from a single
+    ``distance_batch``, ``precision_recall.py:138-142`` — recomputing the
+    O(R*N*D) matmul per output would multiply the dominant MXU cost).
+
+    ``radii_mat`` is (N, num_nhoods); realism uses its first column
+    (``D[:, 0]``).  Sentinel-padded reference rows carry radius 0 and
+    distance ~1e30: they admit no member, contribute ~0 realism, and
+    never win the argmin.  Returns (inside (R, K) bool, realism (R,),
+    neighbor_idx (R,) int32)."""
     n = ref_feats.shape[0]
     blocks = ref_feats.reshape(n // col_batch, col_batch, ref_feats.shape[1])
-    radii_blocks = radii.reshape(n // col_batch, col_batch)
+    radii_blocks = radii_mat.reshape(n // col_batch, col_batch, -1)
     offsets = (jnp.arange(n // col_batch) * col_batch).astype(jnp.int32)
     blocks = _block_constraint(blocks, mesh, P(None, "data", None))
     radii_blocks = _block_constraint(radii_blocks, mesh, P(None, "data"))
     rows = _block_constraint(rows, mesh, P("data", None))
 
     def body(carry, xs):
-        best_real, best_d, best_idx = carry
+        inside, best_real, best_d, best_idx = carry
         block, r, off = xs
-        d = pairwise_sq_dists(rows, block)  # (R, col_batch)
-        real = jnp.max(r[None, :] / (d + eps), axis=1)
+        d = pairwise_sq_dists(rows, block)  # (R, C)
+        inside = inside | jnp.any(
+            d[:, :, None] <= r[None, :, :], axis=1
+        )  # (R, K)
+        real = jnp.max(r[None, :, 0] / (d + eps), axis=1)
         d_loc = jnp.min(d, axis=1)
         i_loc = jnp.argmin(d, axis=1).astype(jnp.int32)
         take = d_loc < best_d  # strict: earlier block wins ties (np.argmin)
         return (
+            inside,
             jnp.maximum(best_real, real),
             jnp.where(take, d_loc, best_d),
             jnp.where(take, off + i_loc, best_idx),
         ), None
 
+    k_n = radii_mat.shape[1]
     init = (
+        jnp.zeros((rows.shape[0], k_n), jnp.bool_),
         jnp.full((rows.shape[0],), -jnp.inf, jnp.float32),
         jnp.full((rows.shape[0],), jnp.inf, jnp.float32),
         jnp.zeros((rows.shape[0],), jnp.int32),
     )
-    init = tuple(
-        _block_constraint(x, mesh, P("data")) for x in init
+    init = (
+        _block_constraint(init[0], mesh, P("data", None)),
+        _block_constraint(init[1], mesh, P("data")),
+        _block_constraint(init[2], mesh, P("data")),
+        _block_constraint(init[3], mesh, P("data")),
     )
-    (real, _, idx), _ = jax.lax.scan(
+    (inside, real, _, idx), _ = jax.lax.scan(
         body, init, (blocks, radii_blocks, offsets)
     )
-    return real, idx
+    return inside, real, idx
 
 
 def _pad_rows_sharded(x: jax.Array, mesh: Mesh):
@@ -272,9 +286,9 @@ def _radii_for(
         return _knn_radii_batched(features, k, row_batch_size, mesh)
     if mesh is not None:
         padded, n_real = _pad_rows_sharded(features, mesh)
+        # The [:n_real] slice already drops every sentinel row's radius.
         radii = _knn_radii(padded, k)
-        row_ids = jnp.arange(padded.shape[0])
-        return jnp.where(row_ids < n_real, radii, -1.0)[:n_real]
+        return radii if padded.shape[0] == n_real else radii[:n_real]
     return _knn_radii(features, k)
 
 
@@ -383,37 +397,35 @@ class ManifoldEstimator:
         (E, len(nhood_sizes)) int32 array, optionally with the realism
         score ``max_j radii_j / (d_ij + eps)`` (k = nhood_sizes[0] radii)
         and the nearest-reference index per sample, in the reference's
-        return-tuple order."""
+        return-tuple order.  ONE fused distance pass feeds every output
+        (``_evaluate_rows``) — the matmul dominates, so per-output passes
+        would multiply the wall-clock by num_nhoods + 1."""
         ev = jnp.asarray(eval_features, jnp.float32)
-        preds = jnp.stack(
-            [
-                self.membership(ev, k).astype(jnp.int32)
-                for k in self.nhood_sizes
-            ],
-            axis=1,
-        )
-        if not (return_realism or return_neighbors):
-            return preds
-
         ref = self._features
-        radii0 = self.radii[self.nhood_sizes[0]]
+        radii_mat = jnp.stack(
+            [self.radii[k] for k in self.nhood_sizes], axis=1
+        )
         nb = ref.shape[0]
         n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         col_batch = _round_up(min(self.row_batch_size, nb), n_data)
         target = _round_up(nb, col_batch)
         if target != nb:
+            # Sentinel rows: radius 0 admits nobody (their distance to any
+            # real row is ~1e30 > 0) and contributes ~0 realism.
             ref = _pad_sentinel(ref, target)
-            radii0 = jnp.concatenate(
-                [radii0, jnp.zeros((target - nb,), radii0.dtype)]
+            radii_mat = jnp.concatenate(
+                [radii_mat,
+                 jnp.zeros((target - nb, radii_mat.shape[1]),
+                           radii_mat.dtype)]
             )
         if self.mesh is not None:
             ref = jax.device_put(
                 ref, NamedSharding(self.mesh, P("data", None))
             )
-            radii0 = jax.device_put(
-                radii0, NamedSharding(self.mesh, P("data"))
+            radii_mat = jax.device_put(
+                radii_mat, NamedSharding(self.mesh, P("data", None))
             )
-        reals, idxs = [], []
+        preds_l, reals, idxs = [], [], []
         for i in range(0, ev.shape[0], self.row_batch_size):
             rows = ev[i : i + self.row_batch_size]
             r = rows.shape[0]
@@ -422,15 +434,22 @@ class ManifoldEstimator:
                 rows = jax.device_put(
                     rows, NamedSharding(self.mesh, P("data", None))
                 )
-            real, idx = _realism_neighbor_rows(
-                rows, ref, radii0, col_batch, self.eps, self.mesh
+            inside, real, idx = _evaluate_rows(
+                rows, ref, radii_mat, col_batch, self.eps, self.mesh
             )
             # Device-side slices keep the block dispatches async; no-op
             # slices are skipped (each costs one dispatch RTT).
+            preds_l.append(inside if inside.shape[0] == r else inside[:r])
             reals.append(real if real.shape[0] == r else real[:r])
             idxs.append(idx if idx.shape[0] == r else idx[:r])
-        realism = jnp.concatenate(reals) if len(reals) > 1 else reals[0]
-        neighbors = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+
+        def cat(xs):
+            return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+        preds = cat(preds_l).astype(jnp.int32)
+        if not (return_realism or return_neighbors):
+            return preds
+        realism, neighbors = cat(reals), cat(idxs)
         if return_realism and return_neighbors:
             return preds, realism, neighbors
         if return_realism:
@@ -486,29 +505,31 @@ def knn_precision_recall_features(
     )
 
     state: Dict[str, object] = {}
+    ks = ref_manifold.nhood_sizes
     if return_realism or return_neighbors:
         preds, *extras = ref_manifold.evaluate(
             ev, return_realism=return_realism,
             return_neighbors=return_neighbors,
         )
-        precision_k = [
-            preds[:, j] for j in range(len(ref_manifold.nhood_sizes))
-        ]
+        precision_k = [preds[:, j] for j in range(len(ks))]
         if return_realism:
             state["realism"] = np.asarray(extras[0])
         if return_neighbors:
             state["nearest_neighbors"] = np.asarray(extras[-1])
-    else:
-        # Minimal-dispatch path: raw per-k membership, no stack/column
+    elif len(ks) == 1:
+        # Minimal-dispatch path: raw single-k membership, no stack/column
         # slices (each extra device op costs one dispatch RTT through a
         # remote tunnel — measured 1.56 s vs 1.24 s at 10k x 10k).
-        precision_k = [
-            ref_manifold.membership(ev, k)
-            for k in ref_manifold.nhood_sizes
-        ]
-    recall_k = [
-        eval_manifold.membership(ref, k) for k in eval_manifold.nhood_sizes
-    ]
+        precision_k = [ref_manifold.membership(ev, ks[0])]
+    else:
+        # Multi-k: one fused distance pass serves every k.
+        preds = ref_manifold.evaluate(ev)
+        precision_k = [preds[:, j] for j in range(len(ks))]
+    if len(ks) == 1:
+        recall_k = [eval_manifold.membership(ref, ks[0])]
+    else:
+        rec = eval_manifold.evaluate(ref)
+        recall_k = [rec[:, j] for j in range(len(ks))]
 
     for j, k in enumerate(ref_manifold.nhood_sizes):
         state[f"precision_k{k}"] = float(

@@ -96,6 +96,11 @@ class ImageDirectory:
     def _decode(self, files) -> np.ndarray:
         from PIL import Image
 
+        if not files:
+            # Match ndarray slicing semantics: an out-of-range or empty
+            # slice yields an empty batch, not a stack() crash.
+            dtype = np.float32 if self.scale else np.uint8
+            return np.empty((0, 0, 0, 0), dtype)
         out = []
         for f in files:
             img = np.asarray(Image.open(os.path.join(self.in_dir, f)))

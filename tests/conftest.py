@@ -84,11 +84,27 @@ _QUICK = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         base = os.path.basename(str(item.fspath))
         name = item.name.split("[")[0]
         if (base, name) in _QUICK:
             item.add_marker(pytest.mark.quick)
+            matched.add((base, name))
+    # A rename must not silently shrink the smoke tier — fail loudly.
+    # Only enforced for whole-file collections: node-id (`file::test`) or
+    # -k selections legitimately collect a subset.
+    argstr = " ".join(map(str, config.invocation_params.args))
+    if "::" in argstr or config.option.keyword:
+        return
+    collected_files = {os.path.basename(str(i.fspath)) for i in items}
+    stale = {
+        (f, n) for f, n in _QUICK - matched if f in collected_files
+    }
+    if stale:
+        raise pytest.UsageError(
+            f"_QUICK entries match no collected test (renamed?): {stale}"
+        )
 
 
 @pytest.fixture(scope="session")

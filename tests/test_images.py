@@ -61,6 +61,7 @@ def test_image_directory_streams_batches(tmp_path):
     assert len(d) == 40
     assert d[0].shape == (8, 8, 1) and d[0].dtype == np.float32
     assert d[3:7].shape == (4, 8, 8, 1)
+    assert len(d[40:50]) == 0  # past-the-end slice: empty, not a crash
     assert d.max_slice_decoded == 4  # nothing bigger was ever decoded
 
     # Streamed statistics == eager statistics (same files, same batching).
