@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvae_tpu.eval import ppl as ppl_mod
-from nvae_tpu.eval.features import extract_features, get_extractor
+from nvae_tpu.eval.features import (
+    backbone_weights_status,
+    extract_features,
+    get_extractor,
+)
 from nvae_tpu.eval.frechet import fid_from_features
 from nvae_tpu.eval.nll import neg_log_likelihood
 from nvae_tpu.eval.precision_recall import knn_precision_recall_features
@@ -70,9 +74,22 @@ class ModelEvaluation:
     sample_metrics: List[Metrics]
     feature_backbone: str = "random_conv"
     fid_backbone: str = "inception"
+    # Weight provenance ("imagenet" | "random-init" | "fixed-seed"): FID/P&R
+    # from a "random-init" backbone are framework-internal only, NOT
+    # comparable to published numbers (VERDICT r4 #7).
+    feature_backbone_weights: str = "unknown"
+    fid_backbone_weights: str = "unknown"
 
     def to_dict(self):
         return dataclasses.asdict(self)
+
+    def comparable(self) -> bool:
+        """True iff both backbones run real (ImageNet) weights, i.e. the
+        FID/P&R values are comparable to published numbers."""
+        return (
+            self.feature_backbone_weights in ("imagenet",)
+            and self.fid_backbone_weights in ("imagenet",)
+        )
 
 
 def evaluate_model(
@@ -190,7 +207,16 @@ def evaluate_model(
         sample_metrics=[],
         feature_backbone=feature_backbone,
         fid_backbone=fid_backbone,
+        feature_backbone_weights=backbone_weights_status(feature_backbone),
+        fid_backbone_weights=backbone_weights_status(fid_backbone),
     )
+    if not evaluation.comparable():
+        print(
+            "[nvae_tpu.eval] WARNING: backbone weights are "
+            f"feature={evaluation.feature_backbone_weights} "
+            f"fid={evaluation.fid_backbone_weights} — FID/P&R/PPL values are "
+            "framework-internal only, not comparable to published numbers."
+        )
     for t_i, temperature in enumerate(temperatures):
         precisions, recalls, ppls = [], [], []
         for attempt in range(n_attempts):

@@ -96,6 +96,28 @@ def _load_vgg16_params(path: str):
     return {"params": params}
 
 
+def backbone_weights_status(
+    name: str, weights_path: Optional[str] = None
+) -> str:
+    """Provenance tag for a backbone's weights, for eval artifacts.
+
+    Returns ``"imagenet"`` when a local converted weight npz exists (the
+    ``get_extractor`` load path), ``"random-init"`` when the fixed-seed
+    random fallback would be used instead, and ``"fixed-seed"`` for the
+    deliberately-random ``random_conv`` backbone.  Recorded in
+    ``ModelEvaluation`` so a weightless run's FID/P&R numbers are
+    self-describing (VERDICT r4 #7)."""
+    if name == "random_conv":
+        return "fixed-seed"
+    if name in ("vgg16", "vgg"):
+        key = "vgg16"
+    elif name in ("inception", "inception_v3", "iv3"):
+        key = "inception_v3"
+    else:
+        raise ValueError(f"unknown feature extractor {name!r}")
+    return "imagenet" if _find_weights(key, weights_path) else "random-init"
+
+
 @functools.lru_cache(maxsize=8)
 def get_extractor(
     name: str = "random_conv",

@@ -89,6 +89,7 @@ class ImageDirectory:
         self.files = _list_image_files(in_dir, limit)
         self.scale = scale
         self.max_slice_decoded = 0  # test observability: peak batch decode
+        self._shape = None  # (H, W, C) cache for empty-slice dtype/shape
 
     def __len__(self) -> int:
         return len(self.files)
@@ -98,9 +99,13 @@ class ImageDirectory:
 
         if not files:
             # Match ndarray slicing semantics: an out-of-range or empty
-            # slice yields an empty batch, not a stack() crash.
+            # slice yields (0, H, W, C), not a stack() crash — so downstream
+            # np.concatenate with real batches works (ADVICE r4).  Probe the
+            # first file for H/W/C if no slice has been decoded yet.
             dtype = np.float32 if self.scale else np.uint8
-            return np.empty((0, 0, 0, 0), dtype)
+            if self._shape is None and self.files:
+                self._decode([self.files[0]])
+            return np.empty((0, *(self._shape or (0, 0, 0))), dtype)
         out = []
         for f in files:
             img = np.asarray(Image.open(os.path.join(self.in_dir, f)))
@@ -108,6 +113,7 @@ class ImageDirectory:
                 img = img[..., None]
             out.append(img)
         arr = np.stack(out)
+        self._shape = arr.shape[1:]
         self.max_slice_decoded = max(self.max_slice_decoded, len(files))
         if self.scale:
             arr = arr.astype(np.float32) / 255.0

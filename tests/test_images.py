@@ -61,8 +61,14 @@ def test_image_directory_streams_batches(tmp_path):
     assert len(d) == 40
     assert d[0].shape == (8, 8, 1) and d[0].dtype == np.float32
     assert d[3:7].shape == (4, 8, 8, 1)
-    assert len(d[40:50]) == 0  # past-the-end slice: empty, not a crash
+    # Past-the-end slice matches ndarray semantics: (0, H, W, C), so it
+    # concatenates cleanly with real batches (ADVICE r4).
+    empty = d[40:50]
+    assert empty.shape == (0, 8, 8, 1)
+    assert np.concatenate([empty, d[0:2]]).shape == (2, 8, 8, 1)
     assert d.max_slice_decoded == 4  # nothing bigger was ever decoded
+    # A fresh view probes one file's shape for an immediately-empty slice.
+    assert ImageDirectory(str(tmp_path))[40:50].shape == (0, 8, 8, 1)
 
     # Streamed statistics == eager statistics (same files, same batching).
     mu_s, sig_s = compute_statistics_of_path(
