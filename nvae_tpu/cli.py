@@ -99,6 +99,12 @@ def parse_args(argv=None):
                    help="Write a jax.profiler trace of one epoch here")
     p.add_argument("--parity_binarize_255", action="store_true",
                    help="Reproduce the reference's >0-threshold binarization")
+    p.add_argument("--parity_frozen_norm", action="store_true",
+                   help="Reproduce the reference's training-mode defect: its "
+                        "train_step calls the model with no training flag "
+                        "(models.py:117), so BN moving stats stay frozen at "
+                        "init and spectral normalization never runs (proven "
+                        "by tools/reference_oracle.py phase D/E1)")
     p.add_argument("--temperature_all_groups", action="store_true",
                    help="Apply sampling temperature to every latent group "
                         "(the reference only scales z0)")
@@ -270,6 +276,7 @@ def build_configs(args, bundle):
         seed=args.seed,
         step_based_warmup=args.step_based_warmup,
         parity_binarize_255=args.parity_binarize_255,
+        parity_frozen_norm=args.parity_frozen_norm,
         binary=likelihood == "bernoulli",
         debug=args.debug,
         sample_frequency=args.sample_frequency,

@@ -221,6 +221,19 @@ class TrainConfig:
     # in [0,255] (a >0 threshold in practice). False = proper Bernoulli draw
     # from probs in [0,1], redrawn each epoch on device; True = >0 threshold.
     parity_binarize_255: bool = False
+    # Reference defect parity: the reference's custom ``train_step`` calls
+    # ``self(data)`` with NO ``training`` argument (models.py:117, copied from
+    # the keras.io VAE tutorial), and Keras 2 resolves the missing flag to
+    # inference mode all the way down.  The reference therefore TRAINS with
+    # BatchNorm in inference mode (moving statistics frozen at init 0/1,
+    # never updated) and with TFA's SpectralNormalization never running its
+    # power iteration (``if training:`` is falsy) — verified by executing the
+    # genuine reference code under tf_keras (tools/reference_oracle.py,
+    # phase D).  True reproduces that: the train step runs the forward with
+    # ``train=False`` (frozen batch_stats, no spectral-u update).  False
+    # (default) trains BN on batch statistics and runs the SN update — the
+    # intended semantics.
+    parity_frozen_norm: bool = False
     binary: bool = True
     debug: bool = False  # truncate dataset to 4 batches (reference train.py:103)
     # Callback frequencies (epochs).

@@ -72,6 +72,12 @@ def make_train_step(
             sn_state = find_spectral_state(state.opt_state)
             sn_u = sn_state.u if sn_state is not None else None
 
+        # parity_frozen_norm: run the forward in inference mode inside the
+        # loss — the genuine reference trains this way (its train_step calls
+        # ``self(data)`` with no training flag; see TrainConfig and
+        # tools/reference_oracle.py phase D/E1 for the executed proof).
+        train_flag = not getattr(train_cfg, "parity_frozen_norm", False)
+
         def loss_fn(params, mb, bstats, spect, rng_mb):
             variables = {"params": params, "batch_stats": bstats}
             mutable = ["batch_stats"]
@@ -81,7 +87,7 @@ def make_train_step(
             out, mutated = model.apply(
                 variables,
                 mb,
-                True,  # train
+                train_flag,
                 rngs={"sample": rng_mb},
                 mutable=mutable,
             )

@@ -286,3 +286,44 @@ def test_trainer_rejects_grad_accum_with_scan_epochs():
             ),
             steps_per_epoch=2,
         )
+
+
+def test_parity_frozen_norm_keeps_norm_state_frozen():
+    """TrainConfig.parity_frozen_norm reproduces the reference's genuine
+    train-time semantics (models.py:117 calls self(data) with no training
+    flag -> inference mode throughout; proven by tools/reference_oracle.py
+    phase D): BN batch_stats and spectral u must stay EXACTLY at their
+    initial values across steps, while params still train.  Default mode
+    must keep updating both."""
+    for frozen in (True, False):
+        model, state, tx, step_fn, batch = _setup(
+            spectral_mode="forward", parity_frozen_norm=frozen
+        )
+        b0 = jax.tree.map(np.array, state.batch_stats)
+        s0 = jax.tree.map(np.array, state.spectral)
+        p0 = jax.tree.map(np.array, state.params)
+        for _ in range(2):
+            state, metrics = step_fn(state, batch)
+        db = max(
+            float(np.max(np.abs(a - np.asarray(b))))
+            for a, b in zip(jax.tree.leaves(b0),
+                            jax.tree.leaves(state.batch_stats))
+        )
+        ds = max(
+            float(np.max(np.abs(a - np.asarray(b))))
+            for a, b in zip(jax.tree.leaves(s0),
+                            jax.tree.leaves(state.spectral))
+        )
+        dp = max(
+            float(np.max(np.abs(a - np.asarray(b))))
+            for a, b in zip(jax.tree.leaves(p0),
+                            jax.tree.leaves(state.params))
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert dp > 0, "params must train in both modes"
+        if frozen:
+            assert db == 0.0, f"frozen mode moved batch_stats by {db}"
+            assert ds == 0.0, f"frozen mode moved spectral u by {ds}"
+        else:
+            assert db > 0, "default mode must update batch_stats"
+            assert ds > 0, "default mode must update spectral u"
