@@ -231,6 +231,26 @@ def main():
 
         return images_per_sec * flops_per_image / PEAK_FLOPS_BF16
 
+    def step_bytes_per_image(model, tx, tcfg, state, bs):
+        """Analytic HBM bytes per image of one training step (conv/dot
+        operand+result traffic under the fused-elementwise model, plus the
+        optimizer state sweep — utils/flops.py:train_step_bytes), the
+        roofline denominator side for bandwidth utilization (VERDICT r4
+        #2)."""
+        from nvae_tpu.utils.flops import train_step_bytes
+
+        t0 = time.time()
+        by = train_step_bytes(model, tx, tcfg, state, bs) / bs
+        log(f"analytic step HBM bytes: {by * bs / 1e9:.2f} GB/step "
+            f"({by / 1e6:.2f} MB/image, traced in {time.time() - t0:.1f}s)")
+        return by
+
+    def hbm_util_of(images_per_sec, bytes_per_image):
+        """Achieved fraction of one v5e chip's 819 GB/s HBM bandwidth."""
+        from nvae_tpu.utils.flops import PEAK_HBM_BYTES_PER_S
+
+        return images_per_sec * bytes_per_image / PEAK_HBM_BYTES_PER_S
+
     def run_scan_epoch(model_cfg, tag="", bs=None):
         """Sustained scan-epoch throughput for one model config (the
         device-resident lax.scan training path)."""
@@ -245,6 +265,7 @@ def main():
         tsteps = 400 * (60000 // bs)
         model, state, tx = build(model_cfg, tcfg, tsteps)
         flops_img = step_flops_per_image(model, tx, tcfg, state, bs)
+        bytes_img = step_bytes_per_image(model, tx, tcfg, state, bs)
         n_train = (2080 if args.quick else 15000) // bs * bs
         bundle = synthetic_dataset(n_train=n_train, n_test=bs)
         steps_per_epoch = n_train // bs
@@ -262,8 +283,34 @@ def main():
             dt = time.time() - t0
             n_images = steps_per_epoch * bs
             log(f"epoch {e}{tag}: {dt:.2f}s, {n_images / dt:.1f} img/s "
-                f"(MFU {mfu_of(n_images / dt, flops_img):.3f})")
-        return n_images / dt, flops_img
+                f"(MFU {mfu_of(n_images / dt, flops_img):.3f}, "
+                f"HBM {hbm_util_of(n_images / dt, bytes_img):.3f})")
+        # Diagnostic only: the backend's 'bytes accessed' for the epoch
+        # program.  XLA's HLO cost analysis counts a while/scan BODY ONCE
+        # (verified: 4x the trip count moves its flop count by 1%), so
+        # this figure approximates ONE step + prologue, not the epoch —
+        # and it counts op operands pre-fusion, so it lands ABOVE the
+        # analytic fused lower bound per step.  The reported roofline
+        # number stays the analytic model (utils/flops.py).
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)),
+                (state, data),
+            )
+            ca = runner.lower(
+                abstract[0], abstract[1], jnp.asarray(0)
+            ).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            xla_body = float(ca.get("bytes accessed", 0.0))
+            if xla_body > 0:
+                log(f"XLA bytes accessed (scan body counted once): "
+                    f"{xla_body / 1e9:.2f} GB vs analytic "
+                    f"{bytes_img * bs / 1e9:.2f} GB/step")
+        except Exception as exc:  # tunnel/backend-dependent surface
+            log(f"backend cost_analysis unavailable ({exc!r})")
+        return n_images / dt, flops_img, bytes_img
 
     if args.mode == "ladder":
         # Rung 1: the parity fp32 model (architecture- and numerics-faithful
@@ -275,11 +322,15 @@ def main():
             bn_apply_dtype="bfloat16",
             postprocess_5x5_depthwise=True,
         )
-        parity, parity_fl = run_scan_epoch(ModelConfig(), tag=" [parity-fp32]")
-        best, best_fl = run_scan_epoch(best_cfg, tag=" [best dw+bf16+bnbf16]")
+        parity, parity_fl, parity_by = run_scan_epoch(
+            ModelConfig(), tag=" [parity-fp32]"
+        )
+        best, best_fl, best_by = run_scan_epoch(
+            best_cfg, tag=" [best dw+bf16+bnbf16]"
+        )
         # Rung 3: the same best config at its measured saturation batch
         # (2x the reference's 144; b576 regresses — HBM working-set bound).
-        peak, peak_fl = run_scan_epoch(
+        peak, peak_fl, peak_by = run_scan_epoch(
             best_cfg, tag=f" [best b{ladder_peak_bs}]", bs=ladder_peak_bs
         )
         log(f"ladder: parity fp32 {parity:.1f} img/s "
@@ -293,6 +344,7 @@ def main():
         final = max(best, peak)
         final_bs = ladder_peak_bs if peak >= best else bs
         final_fl = peak_fl if peak >= best else best_fl
+        final_by = peak_by if peak >= best else best_by
         from nvae_tpu.utils.flops import PEAK_FLOPS_BF16
 
         print(
@@ -308,6 +360,11 @@ def main():
                     "mfu": round(mfu_of(final, final_fl), 4),
                     "flops_per_image": round(final_fl),
                     "peak_flops_bf16": PEAK_FLOPS_BF16,
+                    "hbm_bytes_per_image": round(final_by),
+                    "hbm_util": round(hbm_util_of(final, final_by), 4),
+                    "parity_fp32_hbm_util": round(
+                        hbm_util_of(parity, parity_by), 4
+                    ),
                     f"best_b{bs}_value": round(best, 1),
                     f"best_b{bs}_vs_baseline": round(
                         best / BASELINE_IMAGES_PER_SEC, 2
@@ -331,7 +388,7 @@ def main():
         use_pallas_kernels=args.use_pallas,
     )
     if args.mode == "scan_epoch":
-        images_per_sec, flops_img = run_scan_epoch(model_cfg)
+        images_per_sec, flops_img, bytes_img = run_scan_epoch(model_cfg)
         print(
             json.dumps(
                 {
@@ -343,17 +400,24 @@ def main():
                     ),
                     "mfu": round(mfu_of(images_per_sec, flops_img), 4),
                     "flops_per_image": round(flops_img),
+                    "hbm_bytes_per_image": round(bytes_img),
+                    "hbm_util": round(
+                        hbm_util_of(images_per_sec, bytes_img), 4
+                    ),
                 }
             )
         )
         return
 
     model, state, tx = build(model_cfg)
-    flops_img = (
-        step_flops_per_image(model, tx, train_cfg, state, args.batch_size)
-        if args.mode in ("step", "epoch")
-        else 0.0
-    )
+    flops_img = bytes_img = 0.0
+    if args.mode in ("step", "epoch"):
+        flops_img = step_flops_per_image(
+            model, tx, train_cfg, state, args.batch_size
+        )
+        bytes_img = step_bytes_per_image(
+            model, tx, train_cfg, state, args.batch_size
+        )
 
     # Donation is on by default (re-validated on the chip in round 2: no
     # stalls over repeated step/epoch runs; the SIGALRM budget still guards
@@ -442,6 +506,10 @@ def main():
                     ),
                     "mfu": round(mfu_of(images_per_sec, flops_img), 4),
                     "flops_per_image": round(flops_img),
+                    "hbm_bytes_per_image": round(bytes_img),
+                    "hbm_util": round(
+                        hbm_util_of(images_per_sec, bytes_img), 4
+                    ),
                 }
             )
         )
@@ -509,7 +577,8 @@ def main():
     log(
         f"{len(times)} steps, median {med * 1e3:.1f} ms -> "
         f"{images_per_sec:.1f} img/s (loss {loss:.2f}, MFU "
-        f"{mfu_of(images_per_sec, flops_img):.3f})"
+        f"{mfu_of(images_per_sec, flops_img):.3f}, HBM "
+        f"{hbm_util_of(images_per_sec, bytes_img):.3f})"
     )
 
     print(
@@ -521,6 +590,8 @@ def main():
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
                 "mfu": round(mfu_of(images_per_sec, flops_img), 4),
                 "flops_per_image": round(flops_img),
+                "hbm_bytes_per_image": round(bytes_img),
+                "hbm_util": round(hbm_util_of(images_per_sec, bytes_img), 4),
             }
         )
     )

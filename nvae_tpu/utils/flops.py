@@ -29,6 +29,8 @@ import jax.extend.core  # noqa: F401  (ClosedJaxpr/Jaxpr live here)
 # One TPU v5e chip (Google spec: 197 TOPS bf16, 394 TOPS int8).
 PEAK_FLOPS_BF16 = 197e12
 PEAK_FLOPS_FP32 = 98.5e12  # bf16x3 fp32-accumulate passes (approximate)
+# One TPU v5e chip HBM bandwidth (Google spec: 819 GB/s).
+PEAK_HBM_BYTES_PER_S = 819e9
 
 
 def _prod(xs) -> int:
@@ -109,6 +111,123 @@ def _abstract(tree):
                                        jax.numpy.result_type(x)),
         tree,
     )
+
+
+def _aval_bytes(var) -> int:
+    aval = var.aval
+    try:
+        return _prod(aval.shape) * aval.dtype.itemsize
+    except (AttributeError, TypeError):
+        return 0
+
+
+def _eqn_bytes(eqn) -> int:
+    """HBM bytes of one jaxpr equation under the roofline fusion model:
+    only MXU ops (conv/dot) touch HBM — each reads its operands and writes
+    its result.  Elementwise chains between convs are assumed fully fused
+    into the producing/consuming conv (what XLA does on this model,
+    PROFILE.md finding 4), so they add no traffic of their own."""
+    if eqn.primitive.name in ("conv_general_dilated", "dot_general"):
+        return sum(_aval_bytes(v) for v in eqn.invars) + sum(
+            _aval_bytes(v) for v in eqn.outvars
+        )
+    return 0
+
+
+def _jaxpr_bytes(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        total += _eqn_bytes(eqn)
+        name = eqn.primitive.name
+        if name == "scan":
+            total += int(eqn.params["length"]) * _jaxpr_bytes(
+                eqn.params["jaxpr"].jaxpr
+            )
+        elif name == "while":
+            total += _jaxpr_bytes(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max(
+                (_jaxpr_bytes(b.jaxpr) for b in eqn.params["branches"]),
+                default=0,
+            )
+        else:
+            for v in eqn.params.values():
+                total += _sub_jaxpr_bytes(v)
+    return total
+
+
+def _sub_jaxpr_bytes(v: Any) -> int:
+    if isinstance(v, jax.extend.core.ClosedJaxpr):
+        return _jaxpr_bytes(v.jaxpr)
+    if isinstance(v, jax.extend.core.Jaxpr):
+        return _jaxpr_bytes(v)
+    if isinstance(v, (tuple, list)):
+        return sum(_sub_jaxpr_bytes(x) for x in v)
+    return 0
+
+
+def tree_bytes(tree) -> int:
+    """Total storage bytes of a pytree of arrays/ShapeDtypeStructs."""
+    import numpy as np
+
+    return sum(
+        _prod(jax.numpy.shape(x))
+        * np.dtype(jax.numpy.result_type(x)).itemsize
+        for x in jax.tree.leaves(tree)
+    )
+
+
+def traced_mxu_bytes(fn, *args, **kwargs) -> int:
+    """Analytic HBM traffic of the conv/matmul ops in one call of ``fn``
+    (operands + results, fused-elementwise model; see ``_eqn_bytes``)."""
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+    return _jaxpr_bytes(closed.jaxpr)
+
+
+def compiled_bytes_accessed(fn, *args) -> float:
+    """XLA's own post-fusion 'bytes accessed' of the compiled program —
+    the authoritative HBM-traffic estimate when the backend reports it
+    (returns 0.0 when it doesn't, e.g. some experimental backends)."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0
+
+
+def train_step_bytes(
+    model, tx, train_cfg, state, batch_size: int,
+    total_steps: int = 100, steps_per_epoch: int = 100,
+) -> int:
+    """Analytic HBM bytes of ONE training step: conv/dot operand+result
+    traffic from the traced jaxpr, plus the optimizer's state sweep (every
+    step reads and writes params + opt-state + batch-stats once — all
+    elementwise, so invisible to the MXU walk).  Companion to
+    :func:`train_step_flops`; ``bench.py`` divides by measured step time
+    and ``PEAK_HBM_BYTES_PER_S`` to report bandwidth utilization
+    (VERDICT r4 #2)."""
+    from nvae_tpu.train.step import make_train_step
+
+    step = make_train_step(
+        model, tx, train_cfg, total_steps=total_steps,
+        steps_per_epoch=steps_per_epoch, donate=False,
+    )
+    cfg = model.cfg
+    batch = jax.ShapeDtypeStruct(
+        (batch_size, cfg.image_size, cfg.image_size, cfg.in_channels),
+        jax.numpy.float32,
+    )
+    mxu = traced_mxu_bytes(
+        lambda s, b: step(s, b), _abstract(state), batch
+    )
+    sweep = 2 * (
+        tree_bytes(state.params)
+        + tree_bytes(state.opt_state)
+        + tree_bytes(state.batch_stats)
+    )
+    return mxu + sweep
 
 
 def train_step_flops(

@@ -80,6 +80,8 @@ _QUICK = {
     ("test_cli.py", "test_scale_temperatures_length_validated"),
     ("test_compile_cache.py", "test_enable_is_idempotent_and_returns_dir"),
     ("test_export.py", "test_quantize_params_int8_library"),
+    ("test_reproduce_baseline.py",
+     "test_reproduce_baseline_end_to_end_on_fabricated_mnist"),
 }
 
 

@@ -91,6 +91,12 @@ def main():
     ap.add_argument("--debug", action="store_true",
                     help="Smoke mode: 2 epochs, 4 batches, tiny eval, "
                          "random_conv backbones")
+    ap.add_argument("--tiny_model", action="store_true",
+                    help="Swap the preset's architecture for the tiny debug "
+                         "config (same spectral mode) — pipeline-rehearsal "
+                         "only, numbers are meaningless "
+                         "(tests/test_reproduce_baseline.py runs the whole "
+                         "tool this way in the CI quick tier)")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
@@ -111,6 +117,16 @@ def main():
         )
 
     import jax
+
+    # Plugin sitecustomize files (axon) force jax_platforms at import and
+    # silently override the JAX_PLATFORMS env var — re-assert it (same fix
+    # as __graft_entry__._honor_env_platform) so CI smokes really run on CPU.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     import numpy as np
 
     from nvae_tpu.data import load_dataset, make_iterators, synthetic_dataset
@@ -124,6 +140,10 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     model_cfg, train_cfg = get_preset(PRESET[args.variant])
+    if args.tiny_model:
+        from nvae_tpu.config import debug_config
+
+        model_cfg = debug_config(spectral_mode=model_cfg.spectral_mode)
     epochs = 2 if args.debug else args.epochs
     train_cfg = dataclasses.replace(
         train_cfg,
