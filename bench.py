@@ -47,6 +47,13 @@ def main():
                          "selected config; epoch: per-batch host loop incl. "
                          "input pipeline; step: per-step sync timing (pays "
                          "tunnel RTT per step)")
+    ap.add_argument("--preset", type=str, default="",
+                    help="Benchmark a named preset (omniglot_deep, "
+                         "cifar10_dml, celeba64, ... — nvae_tpu/presets.py) "
+                         "instead of the default MNIST config: step / epoch "
+                         "/ scan_epoch / sample modes use its architecture "
+                         "and data shape (VERDICT r4 #3); dtype/depthwise "
+                         "flags apply on top")
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--bn_apply_dtype", type=str, default="float32",
@@ -56,6 +63,11 @@ def main():
     ap.add_argument("--postprocess_depthwise", action="store_true",
                     help="Use the depthwise postprocess 5x5 (the form the "
                          "reference intended; ~2.5x fewer step FLOPs)")
+    ap.add_argument("--remat", type=str, default="default",
+                    choices=["default", "on", "off"],
+                    help="Override the config's activation-rematerialization "
+                         "policy (celeba64 presets default on — the "
+                         "remat-vs-not ladder point, VERDICT r4 #3)")
     ap.add_argument("--use_pallas", action="store_true",
                     help="Route the depthwise-5x5 hot spots through the fused "
                          "swish->dw Pallas kernels")
@@ -85,12 +97,15 @@ def main():
 
     bs = args.batch_size
     ladder_peak_bs = 2 * bs  # measured saturation for the best config (b288)
+    tag = args.preset or "mnist_nvae"
+    if args.preset and args.mode in ("ladder", "pr"):
+        raise SystemExit("--preset applies to step/epoch/scan_epoch/sample")
     metric_name = {
         "ladder": f"train_scan_epoch_throughput_mnist_nvae_best_b{ladder_peak_bs}",
-        "step": f"train_throughput_mnist_nvae_b{bs}",
-        "epoch": f"train_epoch_throughput_mnist_nvae_b{bs}",
-        "scan_epoch": f"train_scan_epoch_throughput_mnist_nvae_b{bs}",
-        "sample": f"sample_throughput_mnist_nvae_b{bs}",
+        "step": f"train_throughput_{tag}_b{bs}",
+        "epoch": f"train_epoch_throughput_{tag}_b{bs}",
+        "scan_epoch": f"train_scan_epoch_throughput_{tag}_b{bs}",
+        "sample": f"sample_throughput_{tag}_b{bs}",
         "pr": "knn_precision_recall_seconds",
     }[args.mode]
     if args.mode == "pr" and args.pr_n and args.time_budget == 1200:
@@ -197,9 +212,21 @@ def main():
         )
         return
 
-    train_cfg = TrainConfig(
-        batch_size=args.batch_size, step_based_warmup=True
-    )
+    import dataclasses
+
+    preset_model_cfg = None
+    if args.preset:
+        from nvae_tpu.presets import get_preset
+
+        preset_model_cfg, preset_train_cfg = get_preset(args.preset)
+        train_cfg = dataclasses.replace(
+            preset_train_cfg, batch_size=args.batch_size,
+            step_based_warmup=True,
+        )
+    else:
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size, step_based_warmup=True
+        )
     total_steps = 400 * (60000 // args.batch_size)  # reference-scale schedule
 
     def build(model_cfg, tcfg=None, tsteps=None):
@@ -261,13 +288,19 @@ def main():
         )
 
         bs = bs or args.batch_size
-        tcfg = TrainConfig(batch_size=bs, step_based_warmup=True)
+        tcfg = dataclasses.replace(
+            train_cfg, batch_size=bs, step_based_warmup=True
+        )
         tsteps = 400 * (60000 // bs)
         model, state, tx = build(model_cfg, tcfg, tsteps)
         flops_img = step_flops_per_image(model, tx, tcfg, state, bs)
         bytes_img = step_bytes_per_image(model, tx, tcfg, state, bs)
         n_train = (2080 if args.quick else 15000) // bs * bs
-        bundle = synthetic_dataset(n_train=n_train, n_test=bs)
+        bundle = synthetic_dataset(
+            n_train=n_train, n_test=bs,
+            image_size=model_cfg.image_size,
+            channels=model_cfg.in_channels,
+        )
         steps_per_epoch = n_train // bs
         runner = make_epoch_runner(
             model, tx, tcfg, tsteps, steps_per_epoch,
@@ -381,12 +414,26 @@ def main():
         )
         return
 
-    model_cfg = ModelConfig(
-        compute_dtype=args.compute_dtype or "float32",
-        bn_apply_dtype=args.bn_apply_dtype or "float32",
-        postprocess_5x5_depthwise=args.postprocess_depthwise,
-        use_pallas_kernels=args.use_pallas,
-    )
+    if preset_model_cfg is not None:
+        model_cfg = dataclasses.replace(
+            preset_model_cfg,
+            compute_dtype=args.compute_dtype or "float32",
+            bn_apply_dtype=args.bn_apply_dtype or "float32",
+            postprocess_5x5_depthwise=(
+                args.postprocess_depthwise
+                or preset_model_cfg.postprocess_5x5_depthwise
+            ),
+            use_pallas_kernels=args.use_pallas,
+        )
+    else:
+        model_cfg = ModelConfig(
+            compute_dtype=args.compute_dtype or "float32",
+            bn_apply_dtype=args.bn_apply_dtype or "float32",
+            postprocess_5x5_depthwise=args.postprocess_depthwise,
+            use_pallas_kernels=args.use_pallas,
+        )
+    if args.remat != "default":
+        model_cfg = dataclasses.replace(model_cfg, remat=args.remat == "on")
     if args.mode == "scan_epoch":
         images_per_sec, flops_img, bytes_img = run_scan_epoch(model_cfg)
         print(
@@ -479,8 +526,15 @@ def main():
         from nvae_tpu.data import make_iterators, synthetic_dataset
 
         n_train = 2080 if args.quick else 15000
-        bundle = synthetic_dataset(n_train=n_train, n_test=args.batch_size)
-        train_iter, _ = make_iterators(bundle, args.batch_size)
+        bundle = synthetic_dataset(
+            n_train=n_train, n_test=args.batch_size,
+            image_size=model_cfg.image_size,
+            channels=model_cfg.in_channels,
+        )
+        train_iter, _ = make_iterators(
+            bundle, args.batch_size, target_size=model_cfg.image_size,
+            binarize=train_cfg.binary,
+        )
         log(f"epoch mode: {len(train_iter)} batches/epoch")
         # Epoch 0 pays all compiles; epoch 1 is the measurement.
         for e in range(2):
@@ -517,9 +571,16 @@ def main():
 
     # Synthetic binarized batch (throughput is data-independent).
     rng = jax.random.PRNGKey(0)
-    batch = (
-        jax.random.uniform(rng, (args.batch_size, 32, 32, 1)) > 0.7
-    ).astype(jnp.float32)
+    batch_shape = (
+        args.batch_size, model_cfg.image_size, model_cfg.image_size,
+        model_cfg.in_channels,
+    )
+    if train_cfg.binary:
+        batch = (jax.random.uniform(rng, batch_shape) > 0.7).astype(
+            jnp.float32
+        )
+    else:  # continuous-likelihood configs (DML) train on [0, 1] floats
+        batch = jax.random.uniform(rng, batch_shape)
 
     # Remote-tunnel runtimes can stall a dispatch indefinitely; a SIGALRM
     # budget guarantees the JSON line is always emitted from whatever steps
