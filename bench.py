@@ -594,8 +594,12 @@ def main():
         raise _Budget()
 
     signal.signal(signal.SIGALRM, _on_alarm)
-    # Budget covers compile (~3-4 min through a tunnel) plus the timed steps.
-    signal.alarm(420 + args.steps * 30)
+    # Budget covers compile (~3-4 min through a tunnel; the 710M celeba64
+    # preset needs far more) plus the timed steps — a raised --time_budget
+    # extends this phase too.
+    signal.alarm(
+        max(420 + args.steps * 30, args.time_budget - args.steps * 30)
+    )
 
     times = []
     loss = float("nan")
